@@ -1,0 +1,492 @@
+"""Pure-numpy numeric kernels (no Spark imports).
+
+Re-creates the reference's per-sample numeric pipeline as vectorized numpy,
+to be invoked from Arrow-batched pandas UDFs. Semantics are ported from
+(cited for parity-checking, not copied):
+
+- closed-form symmetric 3x3 eigenvalues with |l3|<=|l2|<=|l1| ordering:
+  /root/reference/include/ife/Numerics/Symmetric3x3EigenvalueSolver.h:33-132
+- eigenvalue-derived features (l1,l2,l3, LoG, Gaussian curvature, Frobenius):
+  /root/reference/include/ife/Numerics/EigenvalueFeaturesFunctor.h:20-31
+- dense histogram with bins (-inf,e0], (e0,e1], ..., (e_{n-1},+inf):
+  /root/reference/include/ife/Statistics/DenseHistogram.h:22-53
+- equi-depth (equalized-histogram) edge finding with duplicate handling:
+  /root/reference/include/ife/Statistics/DetermineEdgesForEqualizedHistogram.h:21-139
+- central-difference derivatives, order 1 and 2, ZeroFluxNeumann boundary:
+  /root/reference/include/ife/Filters/Hessian3DImageFilter.hxx:19-59
+- normalized Gaussian convolution {a*cT}/{a*c} (Knutsson-Westin 0th order):
+  /root/reference/include/ife/Filters/NormalizedGaussianConvolutionImageFilter.h:14-45
+- 8-feature emphysema pipeline and feature order:
+  /root/reference/include/ife/Filters/ImageToEmphysemaFeaturesFilter.hxx:15-55,
+  /root/reference/tools/ExtractFeatures.cxx:126-130
+- bag-vector column layout (scale-major, then feature, then bin):
+  /root/reference/tools/MakeBag.cxx:448-470
+
+All kernels operate on batches: the leading axes are free, the cube axes are
+the last three. Storage dtype float32 at rest, float64 math.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+# Feature order matches /root/reference/tools/ExtractFeatures.cxx:126-130.
+FEATURE_NAMES = (
+    "gaussian_blur",
+    "gradient_magnitude",
+    "eig1",
+    "eig2",
+    "eig3",
+    "laplacian_of_gaussian",
+    "gaussian_curvature",
+    "frobenius_norm",
+)
+NUM_FEATURES = len(FEATURE_NAMES)
+
+DEFAULT_SCALES = (1.0, 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric 3x3 eigenvalues (closed form) + eigenvalue features
+# ---------------------------------------------------------------------------
+
+def _diag_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
+    """Order three diagonal entries so |e2| <= |e1| <= |e0|, replicating the
+    exact branch structure of Symmetric3x3EigenvalueSolver.h:45-83 (including
+    its tie behavior)."""
+    a0, a1, a2 = np.abs(v0), np.abs(v1), np.abs(v2)
+    c1 = a0 > a1
+    c2 = a0 > a2
+    c3 = a1 > a2
+    c4 = a0 > a2
+    e0 = np.where(c1, np.where(c2, v0, v2), np.where(c3, v1, v2))
+    e1 = np.where(
+        c1,
+        np.where(c2, np.where(c3, v1, v2), v0),
+        np.where(c3, np.where(c4, v0, v2), v1),
+    )
+    e2 = np.where(
+        c1,
+        np.where(c2, np.where(c3, v2, v1), v1),
+        np.where(c3, np.where(c4, v2, v0), v0),
+    )
+    return e0, e1, e2
+
+
+def eig3x3(A: np.ndarray) -> np.ndarray:
+    """Eigenvalues of symmetric 3x3 matrices packed [A11,A12,A13,A22,A23,A33]
+    on the last axis; returns (..., 3) ordered |e2| <= |e1| <= |e0|.
+
+    Vectorized port of Symmetric3x3EigenvalueSolver.h:33-132 (trig closed
+    form, r clamped to [-1,1], magnitude-ordered output with two swaps).
+    """
+    A = np.asarray(A, dtype=np.float64)
+    A11, A12, A13, A22, A23, A33 = (A[..., i] for i in range(6))
+
+    p_off = A12 * A12 + A13 * A13 + A23 * A23
+    diag = p_off == 0
+
+    d0, d1, d2 = _diag_order(A11, A22, A33)
+
+    q = (A11 + A22 + A33) / 3.0
+    p = (A11 - q) ** 2 + (A22 - q) ** 2 + (A33 - q) ** 2 + 2.0 * p_off
+    p = np.sqrt(p / 6.0)
+    psafe = np.where(p == 0, 1.0, p)
+    B11 = (A11 - q) / psafe
+    B12 = A12 / psafe
+    B13 = A13 / psafe
+    B22 = (A22 - q) / psafe
+    B23 = A23 / psafe
+    B33 = (A33 - q) / psafe
+    r = (
+        B11 * B22 * B33
+        + 2.0 * B12 * B13 * B23
+        - B23 * B23 * B11
+        - B13 * B13 * B22
+        - B12 * B12 * B33
+    ) / 2.0
+
+    phi = np.where(
+        r <= -1.0,
+        np.pi / 3.0,
+        np.where(r >= 1.0, 0.0, np.arccos(np.clip(r, -1.0, 1.0)) / 3.0),
+    )
+
+    e0 = q + 2.0 * p * np.cos(phi)
+    e2 = q + 2.0 * p * np.cos(phi + np.pi * (2.0 / 3.0))
+    e1 = 3.0 * q - e0 - e2
+
+    sw = np.abs(e0) < np.abs(e2)
+    e0, e2 = np.where(sw, e2, e0), np.where(sw, e0, e2)
+    sw = np.abs(e1) < np.abs(e2)
+    e1, e2 = np.where(sw, e2, e1), np.where(sw, e1, e2)
+
+    out = np.stack(
+        [
+            np.where(diag, d0, e0),
+            np.where(diag, d1, e1),
+            np.where(diag, d2, e2),
+        ],
+        axis=-1,
+    )
+    return out
+
+
+def eigenvalue_features(A: np.ndarray) -> np.ndarray:
+    """(..., 6) packed Hessians -> (..., 6) features
+    [e1, e2, e3, e1+e2+e3, e1*e2*e3, sqrt(e1^2+e2^2+e3^2)]
+    per EigenvalueFeaturesFunctor.h:20-31."""
+    ev = eig3x3(A)
+    e0, e1, e2 = ev[..., 0], ev[..., 1], ev[..., 2]
+    return np.stack(
+        [
+            e0,
+            e1,
+            e2,
+            e0 + e1 + e2,
+            e0 * e1 * e2,
+            np.sqrt(e0 * e0 + e1 * e1 + e2 * e2),
+        ],
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Separable Gaussian smoothing (zero-outside boundary) and derivatives
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=256)
+def _gauss_matrix(size: int, sigma: float) -> np.ndarray:
+    """(size, size) 1-D convolution matrix of a truncated, normalized
+    Gaussian (radius = ceil(4*sigma)); out-of-range contributions are zero,
+    matching the normalized-convolution view that everything outside the
+    cube has certainty 0."""
+    radius = max(1, int(math.ceil(4.0 * sigma)))
+    k = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-(k * k) / (2.0 * sigma * sigma))
+    w /= w.sum()
+    G = np.zeros((size, size), dtype=np.float64)
+    idx = np.arange(size)
+    for off, weight in zip(range(-radius, radius + 1), w):
+        j = idx + off
+        valid = (j >= 0) & (j < size)
+        G[idx[valid], j[valid]] += weight
+    return G
+
+
+def _conv_axis(x: np.ndarray, G: np.ndarray, axis: int) -> np.ndarray:
+    out = np.tensordot(x, G, axes=([axis], [1]))
+    return np.moveaxis(out, -1, axis)
+
+
+def gauss3(x: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable 3-D Gaussian smoothing over the last three axes, zero
+    boundary (outside-cube cells contribute nothing — certainty-0 view)."""
+    s = x.shape[-1]
+    assert x.shape[-2] == s and x.shape[-3] == s, "expects cube on last 3 axes"
+    G = _gauss_matrix(s, float(sigma))
+    out = np.asarray(x, dtype=np.float64)
+    for axis in (-1, -2, -3):
+        out = _conv_axis(out, G, axis)
+    return out
+
+
+def _pad_edge(x: np.ndarray, axis: int) -> np.ndarray:
+    """ZeroFluxNeumann (edge-replicate) pad of 1 along `axis`."""
+    first = np.take(x, [0], axis=axis)
+    last = np.take(x, [-1], axis=axis)
+    return np.concatenate([first, x, last], axis=axis)
+
+
+def derivative(x: np.ndarray, direction: int, order: int = 1) -> np.ndarray:
+    """Central-difference derivative along cube direction 0/1/2 with
+    ZeroFluxNeumann boundary, matching itk::DerivativeImageFilter as
+    configured in Hessian3DImageFilter.hxx:19-51. Direction 0 is the
+    fastest-varying (last numpy) axis of the C-order cube."""
+    axis = -(direction + 1)
+    xp = _pad_edge(np.asarray(x, dtype=np.float64), axis)
+    n = x.shape[axis]
+    lo = np.take(xp, np.arange(0, n), axis=axis)       # x_{i-1}
+    mid = np.take(xp, np.arange(1, n + 1), axis=axis)  # x_i
+    hi = np.take(xp, np.arange(2, n + 2), axis=axis)   # x_{i+1}
+    if order == 1:
+        return (hi - lo) * 0.5
+    if order == 2:
+        return hi - 2.0 * mid + lo
+    raise ValueError(f"unsupported derivative order {order}")
+
+
+def gradient_magnitude(x: np.ndarray) -> np.ndarray:
+    """sqrt(sum_i (d/dx_i)^2), central differences, no pre-smoothing —
+    itk::GradientMagnitudeImageFilter as used in
+    ImageToEmphysemaFeaturesFilter.hxx:27-28."""
+    g0 = derivative(x, 0, 1)
+    g1 = derivative(x, 1, 1)
+    g2 = derivative(x, 2, 1)
+    return np.sqrt(g0 * g0 + g1 * g1 + g2 * g2)
+
+
+def hessian6(x: np.ndarray) -> np.ndarray:
+    """Six unique second derivatives stacked on a NEW last axis in the order
+    [Dxx, Dxy, Dxz, Dyy, Dyz, Dzz]; cross terms composed first-order-of-
+    first-order, per Hessian3DImageFilter.hxx:19-59."""
+    dxx = derivative(x, 0, 2)
+    dyy = derivative(x, 1, 2)
+    dzz = derivative(x, 2, 2)
+    dx = derivative(x, 0, 1)
+    dy = derivative(x, 1, 1)
+    dxy = derivative(dx, 1, 1)
+    dxz = derivative(dx, 2, 1)
+    dyz = derivative(dy, 2, 1)
+    return np.stack([dxx, dxy, dxz, dyy, dyz, dzz], axis=-1)
+
+
+def normalized_convolution(img: np.ndarray, cert: np.ndarray, sigma: float) -> np.ndarray:
+    """U = {a*cT}/{a*c} with a = Gaussian(sigma), zero-certainty cells
+    interpolated from neighbors; 0 where the smoothed certainty is 0
+    (nothing within reach). NormalizedGaussianConvolutionImageFilter.hxx:37-63."""
+    num = gauss3(np.asarray(img, np.float64) * cert, sigma)
+    den = gauss3(np.asarray(cert, np.float64), sigma)
+    ok = den > 0
+    return np.where(ok, num / np.where(ok, den, 1.0), 0.0)
+
+
+def emphysema_features(img: np.ndarray, cert: np.ndarray, sigma: float) -> np.ndarray:
+    """Per-cell 8-feature stack at one scale over cubes (last three axes).
+
+    Returns shape img.shape + (8,), features in FEATURE_NAMES order, each
+    zeroed outside the mask (mask = cert != 0), per
+    ImageToEmphysemaFeaturesFilter.hxx:15-55.
+    """
+    cert = np.asarray(cert, dtype=np.float64)
+    sm = normalized_convolution(img, cert, sigma)
+    gm = gradient_magnitude(sm)
+    H = hessian6(sm)
+    ef = eigenvalue_features(H)  # (..., 6)
+    feats = np.concatenate([np.stack([sm, gm], axis=-1), ef], axis=-1)
+    mask = (cert != 0.0)[..., None]
+    return np.where(mask, feats, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Histogram / equalized edges
+# ---------------------------------------------------------------------------
+
+def histogram_counts(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Counts with bins (-inf,e0], (e0,e1], ..., (e_{n-1},+inf) — the
+    lower_bound insert of DenseHistogram.h:45-53 is
+    np.searchsorted(side='left')."""
+    edges = np.asarray(edges, dtype=np.float64)
+    bins = np.searchsorted(edges, np.asarray(values, dtype=np.float64), side="left")
+    return np.bincount(bins, minlength=len(edges) + 1).astype(np.int64)
+
+
+def histogram_frequencies(values: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """counts / total (DenseHistogram.h:55-60); all-zero if no values."""
+    counts = histogram_counts(values, edges)
+    total = counts.sum()
+    if total == 0:
+        return np.zeros_like(counts, dtype=np.float64)
+    return counts / float(total)
+
+
+def equalized_edges(sorted_values: np.ndarray, n_bins: int) -> np.ndarray:
+    """Equi-depth bin edges over a SORTED array, duplicate-aware — an exact
+    port of determineEdgesForEqualizedHistogram
+    (DetermineEdgesForEqualizedHistogram.h:21-139). Returns n_bins-1 edges.
+    """
+    vals = np.asarray(sorted_values)
+    n = len(vals)
+    if n < n_bins:
+        raise ValueError(
+            "Too many bins. Number of bins must be less or equal to number of samples"
+        )
+    samples_per_bin = n // n_bins
+    surplus = n - samples_per_bin * n_bins
+    deficit = 0
+    edges = []
+    n_edge = 0
+    pos = 0
+    while n_edge + 1 < n_bins:
+        index = samples_per_bin
+        if surplus:
+            s = surplus // (n_bins - n_edge)
+            if s == 0:
+                s = 1
+            index += s
+            surplus -= s
+        elif deficit:
+            d = deficit // (n_bins - n_edge)
+            if d == 0:
+                d = 1
+            index -= d
+            deficit -= d
+        pos += index
+        v = vals[pos]
+        lb = int(np.searchsorted(vals[:pos], v, side="left"))
+        if lb != pos:
+            ub = int(np.searchsorted(vals, v, side="right"))
+            if ub == n:
+                pos = lb
+            else:
+                lbdist = pos - lb
+                ubdist = ub - pos
+                if lbdist < ubdist or (lbdist == ubdist and deficit):
+                    pos = lb
+                    if lbdist > deficit:
+                        surplus = lbdist - deficit
+                        deficit = 0
+                    else:
+                        deficit -= lbdist
+                else:
+                    pos = ub
+                    if ubdist > surplus:
+                        deficit = ubdist - surplus
+                        surplus = 0
+                    else:
+                        surplus -= ubdist
+        edges.append(vals[pos])
+        n_edge += 1
+    return np.asarray(edges)
+
+
+# ---------------------------------------------------------------------------
+# Token sequence <-> cube plumbing and the per-doc feature vector
+# ---------------------------------------------------------------------------
+
+def cube_side(n_tok: int) -> int:
+    """Smallest s with s^3 >= n_tok (float-safe)."""
+    s = int(round(n_tok ** (1.0 / 3.0)))
+    while s * s * s < n_tok:
+        s += 1
+    while s > 1 and (s - 1) ** 3 >= n_tok:
+        s -= 1
+    return max(s, 1)
+
+
+def pad_to_cube(tokens: np.ndarray, side: int | None = None):
+    """Pad a token sequence to s^3 (pad cells get certainty 0 — the
+    reference's mask semantics) and C-order reshape to (s,s,s).
+
+    Returns (img float32 cube, cert float32 cube).
+    """
+    tokens = np.asarray(tokens)
+    n = len(tokens)
+    s = side if side is not None else cube_side(n)
+    assert s * s * s >= n
+    img = np.zeros(s * s * s, dtype=np.float32)
+    img[:n] = tokens.astype(np.float32)
+    cert = np.zeros(s * s * s, dtype=np.float32)
+    cert[:n] = 1.0
+    return img.reshape(s, s, s), cert.reshape(s, s, s)
+
+
+def default_edges(n_edges: int = 4) -> np.ndarray:
+    """Deterministic default per-(scale,feature) edge spec for token-valued
+    inputs (vocab [0, 50257)): geometric-ish spread around 0 for the
+    derivative features plus the raw-value range for the smoothed feature.
+    Shape (NUM_FEATURES, n_edges). A flagship run normally replaces this
+    with equalized_edges output (the two-phase flow of SURVEY.md §3.2-3.3).
+    """
+    vocab = 50257.0
+    smooth_edges = np.linspace(vocab * 0.2, vocab * 0.8, n_edges)
+    deriv_edges = np.linspace(-vocab * 0.25, vocab * 0.25, n_edges)
+    pos_edges = np.linspace(0.0, vocab * 0.5, n_edges)
+    big_edges = np.linspace(-vocab ** 2 * 0.01, vocab ** 2 * 0.01, n_edges)
+    per_feature = {
+        0: smooth_edges,          # gaussian_blur: raw value range
+        1: pos_edges,             # gradient magnitude >= 0
+        2: deriv_edges,           # eig1
+        3: deriv_edges,           # eig2
+        4: deriv_edges,           # eig3
+        5: deriv_edges,           # LoG
+        6: big_edges,             # gaussian curvature (product scale)
+        7: pos_edges,             # frobenius >= 0
+    }
+    return np.stack([per_feature[i] for i in range(NUM_FEATURES)])
+
+
+def doc_feature_vector(
+    tokens: np.ndarray,
+    scales=DEFAULT_SCALES,
+    edges: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-document feature vector: for each scale and each of the 8
+    features, histogram frequencies over mask-foreground cells, concatenated
+    scale-major then feature then bin (MakeBag.cxx:459-470 layout).
+
+    `edges`: (n_scales, NUM_FEATURES, n_edges) or (NUM_FEATURES, n_edges)
+    (shared across scales). Output length:
+    n_scales * NUM_FEATURES * (n_edges + 1).
+    """
+    if edges is None:
+        edges = default_edges()
+    edges = np.asarray(edges, dtype=np.float64)
+    if edges.ndim == 2:
+        edges = np.broadcast_to(edges, (len(scales),) + edges.shape)
+    img, cert = pad_to_cube(tokens)
+    fg = cert.reshape(-1) != 0
+    out = []
+    for si, sigma in enumerate(scales):
+        feats = emphysema_features(img, cert, sigma)  # (s,s,s,8)
+        flat = feats.reshape(-1, NUM_FEATURES)[fg]
+        for fi in range(NUM_FEATURES):
+            out.append(histogram_frequencies(flat[:, fi], edges[si, fi]))
+    return np.concatenate(out)
+
+
+def batch_feature_vectors(
+    token_arrays,
+    scales=DEFAULT_SCALES,
+    edges: np.ndarray | None = None,
+) -> np.ndarray:
+    """Vectorized multi-document feature vectors.
+
+    Documents are grouped by cube side s; each s-group is processed as ONE
+    (B,s,s,s) batch so every numpy op is vectorized across documents (padding
+    with certainty-0 cells is a no-op for masked outputs — see SURVEY.md
+    §7.1). Returns (n_docs, vec_len) float64 in input order.
+    """
+    if edges is None:
+        edges = default_edges()
+    edges = np.asarray(edges, dtype=np.float64)
+    if edges.ndim == 2:
+        edges = np.broadcast_to(edges, (len(scales),) + edges.shape)
+    n_edges = edges.shape[-1]
+    vec_len = len(scales) * NUM_FEATURES * (n_edges + 1)
+
+    n_docs = len(token_arrays)
+    out = np.zeros((n_docs, vec_len), dtype=np.float64)
+
+    by_side: dict[int, list[int]] = {}
+    for i, toks in enumerate(token_arrays):
+        by_side.setdefault(cube_side(len(toks)), []).append(i)
+
+    for s, idxs in by_side.items():
+        B = len(idxs)
+        img = np.zeros((B, s * s * s), dtype=np.float32)
+        cert = np.zeros((B, s * s * s), dtype=np.float32)
+        lengths = np.empty(B, dtype=np.int64)
+        for b, i in enumerate(idxs):
+            toks = np.asarray(token_arrays[i])
+            lengths[b] = len(toks)
+            img[b, : len(toks)] = toks.astype(np.float32)
+            cert[b, : len(toks)] = 1.0
+        img = img.reshape(B, s, s, s)
+        cert = cert.reshape(B, s, s, s)
+
+        for si, sigma in enumerate(scales):
+            feats = emphysema_features(img, cert, sigma)  # (B,s,s,s,8)
+            flatf = feats.reshape(B, -1, NUM_FEATURES)
+            flatc = cert.reshape(B, -1)
+            for b in range(B):
+                fg = flatc[b] != 0
+                vals = flatf[b][fg]
+                for fi in range(NUM_FEATURES):
+                    freq = histogram_frequencies(vals[:, fi], edges[si, fi])
+                    off = (si * NUM_FEATURES + fi) * (n_edges + 1)
+                    out[idxs[b], off : off + n_edges + 1] = freq
+    return out

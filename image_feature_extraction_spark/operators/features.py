@@ -1,0 +1,228 @@
+"""Feature-extraction operators: token sequences -> per-doc feature vectors.
+
+Spark-first design notes
+------------------------
+The per-sample pipeline (normalized Gaussian convolution -> gradient
+magnitude + Hessian -> eigenvalue features -> masked per-feature histograms,
+SURVEY.md §3.1/§3.3) is row-local: each document depends only on its own
+tokens. The idiomatic Spark shape is therefore ``mapInPandas`` — a narrow
+(zero-shuffle) Arrow-batched transform. This beats the reference's design in
+two ways (SURVEY.md §4 X5/X7): the whole numeric chain is fused into one
+numpy pass per batch (the reference materializes ~15 intermediate volumes),
+and all scales are computed in a single pass over each doc.
+
+``applyInPandas`` grouped variants exist below for the genuinely grouped
+computations (per-source corpus histograms), where a shuffle is semantically
+required; partial aggregation keeps it one shuffle of small maps.
+
+At 100 TB: mapInPandas preserves input partitioning (parquet split sizing
+via spark.sql.files.maxPartitionBytes governs task granularity); no skew
+concern because there is no key. Arrow batch size is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch (session.py sets 512) so a
+batch of hot 8192-token docs (~21^3 cells * 8 features * 8B ≈ 0.6 MiB each)
+stays ~300 MiB worst-case per task — sized for 4-8 GiB executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+from ..functions import kernels as K
+
+
+def extract_features(
+    df: DataFrame,
+    scales=K.DEFAULT_SCALES,
+    edges: np.ndarray | None = None,
+    tokens_col: str = "tokens",
+    output_col: str = "features",
+) -> DataFrame:
+    """Append a per-doc feature vector column.
+
+    Vector layout: scale-major, then feature, then histogram bin
+    (reference MakeBag.cxx:459-470). Token arrays pass through unchanged
+    (the per-row invariant of BASELINE.json:15).
+    """
+    scales_t = tuple(float(s) for s in scales)
+    edges_arr = None if edges is None else np.asarray(edges, dtype=np.float64)
+    out_schema = StructType(
+        df.schema.fields + [StructField(output_col, ArrayType(DoubleType()), False)]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            vecs = K.batch_feature_vectors(
+                [np.asarray(t) for t in pdf[tokens_col]], scales_t, edges_arr
+            )
+            out = pdf.copy()
+            out[output_col] = [v for v in vecs]
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 of the two-phase flow (SURVEY.md §3.2): corpus statistics ->
+# equalized histogram edges per (scale, feature).
+# ---------------------------------------------------------------------------
+
+_LONG_SCHEMA = "scale_idx int, feature_idx int, value double"
+
+
+def sample_feature_values(
+    df: DataFrame,
+    scales=K.DEFAULT_SCALES,
+    doc_fraction: float = 0.1,
+    cells_per_doc: int = 64,
+    seed: int = 42,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Long-format sample of per-cell feature values: (scale_idx,
+    feature_idx, value). Mirrors the reference's random-iterator sampling
+    (DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:236-262):
+    sample docs, then sample foreground cells within each doc.
+
+    Deterministic: cell choice is seeded per doc via a stable hash.
+    """
+    scales_t = tuple(float(s) for s in scales)
+    sampled = df.sample(fraction=doc_fraction, seed=seed) if doc_fraction < 1.0 else df
+
+    def fn(batches):
+        import hashlib
+
+        for pdf in batches:
+            frames = []
+            toks_list = [np.asarray(t) for t in pdf[tokens_col]]
+            doc_ids = pdf["doc_id"].tolist() if "doc_id" in pdf else [str(i) for i in range(len(pdf))]
+            for toks, did in zip(toks_list, doc_ids):
+                img, cert = K.pad_to_cube(toks)
+                fg = np.flatnonzero(cert.reshape(-1))
+                if len(fg) == 0:
+                    continue
+                dseed = int.from_bytes(
+                    hashlib.md5(f"cells:{seed}:{did}".encode()).digest()[:8], "little"
+                )
+                rng = np.random.Generator(np.random.PCG64(dseed))
+                take = min(cells_per_doc, len(fg))
+                chosen = rng.choice(fg, size=take, replace=False)
+                for si, sigma in enumerate(scales_t):
+                    feats = K.emphysema_features(img, cert, sigma)
+                    flat = feats.reshape(-1, K.NUM_FEATURES)[chosen]
+                    for fi in range(K.NUM_FEATURES):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "scale_idx": si,
+                                    "feature_idx": fi,
+                                    "value": flat[:, fi].astype(np.float64),
+                                }
+                            )
+                        )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return sampled.mapInPandas(fn, _LONG_SCHEMA)
+
+
+def compute_equalized_edges(
+    values_long: DataFrame,
+    n_scales: int,
+    n_bins: int,
+    sample_cap: int = 200_000,
+) -> np.ndarray:
+    """Exact duplicate-aware equi-depth edges per (scale, feature) from the
+    long-format sample. The sample is bounded (<= sample_cap rows per
+    (scale,feature), enforced by a seeded limit), collected, sorted, and run
+    through the exact reference algorithm — faithful to the reference's
+    bounded-sample design, and driver-memory-safe at any corpus size.
+
+    Returns edges ndarray (n_scales, NUM_FEATURES, n_bins - 1).
+    """
+    # cap rows per key deterministically before collecting
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("scale_idx", "feature_idx").orderBy(
+        F.xxhash64("value", F.lit(17))
+    )
+    capped = (
+        values_long.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= sample_cap)
+        .drop("rn")
+    )
+    pdf = capped.toPandas()
+    edges = np.zeros((n_scales, K.NUM_FEATURES, n_bins - 1), dtype=np.float64)
+    for (si, fi), grp in pdf.groupby(["scale_idx", "feature_idx"]):
+        vals = np.sort(grp["value"].to_numpy())
+        edges[si, fi] = K.equalized_edges(vals, n_bins)
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# Grouped corpus histograms (applyInPandas — shuffle is semantically needed)
+# ---------------------------------------------------------------------------
+
+def per_source_histograms(
+    df: DataFrame,
+    scales=K.DEFAULT_SCALES,
+    edges: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-(source, scale, feature) corpus histogram COUNTS.
+
+    Two-stage aggregation: map-side partial histograms per input partition
+    (mapInPandas, no shuffle), then a single small shuffle of
+    (source, scale, feature, counts) rows reduced with a vectorized
+    element-wise sum. The shuffled data is tiny (one counts-array per key
+    per partition), not the cell data — the map-side combine the reference
+    lacks.
+    """
+    if edges is None:
+        edges = K.default_edges()
+    edges = np.asarray(edges, dtype=np.float64)
+    if edges.ndim == 2:
+        edges = np.broadcast_to(edges, (len(scales),) + edges.shape).copy()
+    scales_t = tuple(float(s) for s in scales)
+    n_bins = edges.shape[-1] + 1
+
+    partial_schema = "source string, scale_idx int, feature_idx int, counts array<long>"
+
+    def partial(batches):
+        for pdf in batches:
+            acc: dict[tuple, np.ndarray] = {}
+            for src, toks in zip(pdf["source"], pdf["tokens"]):
+                toks = np.asarray(toks)
+                img, cert = K.pad_to_cube(toks)
+                fg = cert.reshape(-1) != 0
+                for si, sigma in enumerate(scales_t):
+                    feats = K.emphysema_features(img, cert, sigma)
+                    flat = feats.reshape(-1, K.NUM_FEATURES)[fg]
+                    for fi in range(K.NUM_FEATURES):
+                        key = (src, si, fi)
+                        c = K.histogram_counts(flat[:, fi], edges[si, fi])
+                        if key in acc:
+                            acc[key] += c
+                        else:
+                            acc[key] = c
+            if acc:
+                yield pd.DataFrame(
+                    [
+                        {"source": k[0], "scale_idx": k[1], "feature_idx": k[2], "counts": v}
+                        for k, v in acc.items()
+                    ]
+                )
+
+    partials = df.mapInPandas(partial, partial_schema)
+    # element-wise sum of count arrays via zip_with on an aggregate
+    return (
+        partials.groupBy("source", "scale_idx", "feature_idx")
+        .agg(
+            F.aggregate(
+                F.collect_list("counts"),
+                F.array([F.lit(0).cast("long")] * n_bins),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("counts")
+        )
+    )

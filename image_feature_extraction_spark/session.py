@@ -1,0 +1,70 @@
+"""SparkSession builder tuned for the feature-engineering engine.
+
+Local defaults mirror what a 1000-executor cluster deployment would set:
+Arrow-batched Python UDF transfer, AQE with skew-join handling, explicit
+shuffle partition count. On a real cluster the same builder is used with
+``master`` unset (taken from spark-submit) and shuffle partitions sized to
+2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# Token docs are heavy rows (~4 KiB avg); keep Arrow batches moderate so a
+# batch of hot 8192-token docs stays well under executor memory.
+ARROW_BATCH_ROWS = 512
+
+
+def get_spark(
+    app_name: str = "image-feature-extraction-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    # Make this package importable by Python workers regardless of the
+    # caller's cwd. On a real cluster the same is achieved with
+    # `spark-submit --py-files image_feature_extraction_spark.zip`; in local
+    # mode workers inherit the driver env, so PYTHONPATH must be set BEFORE
+    # the JVM starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # keep per-task numpy single-threaded; parallelism comes from tasks
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def sf_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver testdata parquet tables as DataFrames."""
+    out = [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+    return out[0] if len(out) == 1 else out

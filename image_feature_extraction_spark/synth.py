@@ -1,0 +1,87 @@
+"""Deterministic synthesis of the pre-tokenized training-sequence table.
+
+Schema per the driver's input hint (BASELINE.json:15):
+    doc_id string, tokens array<int32>, n_tok int32, source string
+plus a derived event-time column `ts long` (epoch seconds, monotone per
+source) as the substrate for as-of joins and windowed ops.
+
+Every value is a pure function of the doc index via md5 — stable across
+runs, partitionings, and machines (no wall clock, no unseeded RNG). The
+same generator backs the Spark table and the local pandas/numpy oracle, so
+tests can compare them row-by-row.
+
+Distribution targets (FIXTURES.md §1): n_tok in [16, 1024] with ~1% hot
+docs up to 8192 (exercises salting/AQE), sources Zipf-ish over 8 values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+VOCAB = 50257
+SOURCES = tuple(f"src{i}" for i in range(8))
+# Zipf-ish cumulative weights over the 8 sources (percent).
+_SOURCE_CUM = np.cumsum([40, 20, 12, 8, 6, 5, 5, 4])
+TS_BASE = 1_700_000_000  # fixed epoch anchor
+TS_STEP = 7  # seconds between consecutive doc ids
+
+
+def _seed(doc_id: str) -> int:
+    return int.from_bytes(hashlib.md5(doc_id.encode()).digest()[:8], "little")
+
+
+def doc_id_of(i: int) -> str:
+    return f"doc{i:012d}"
+
+
+def doc_row(i: int) -> dict:
+    """Fully deterministic row for doc index i."""
+    doc_id = doc_id_of(i)
+    seed = _seed(doc_id)
+    if i % 101 == 0:  # ~1% hot docs
+        n_tok = 2048 + seed % 6145  # [2048, 8192]
+    else:
+        n_tok = 16 + seed % 1009  # [16, 1024]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    tokens = rng.integers(0, VOCAB, n_tok, dtype=np.int32)
+    src = SOURCES[int(np.searchsorted(_SOURCE_CUM, (seed >> 8) % 100, side="right"))]
+    return {
+        "doc_id": doc_id,
+        "tokens": tokens,
+        "n_tok": np.int32(n_tok),
+        "source": src,
+        "ts": np.int64(TS_BASE + i * TS_STEP),
+    }
+
+
+def token_table_pandas(n_docs: int, start: int = 0) -> pd.DataFrame:
+    rows = [doc_row(i) for i in range(start, start + n_docs)]
+    return pd.DataFrame(rows)
+
+
+TOKEN_TABLE_SCHEMA = (
+    "doc_id string, tokens array<int>, n_tok int, source string, ts long"
+)
+
+
+def token_table(spark, n_docs: int, partitions: int | None = None):
+    """Distributed deterministic token table: spark.range + mapInPandas.
+
+    Generation is embarrassingly parallel and seed-stable per doc index, so
+    the table is identical for any partition count — the property the
+    engine's shuffle-invariance tests rely on.
+    """
+    rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield token_table_pandas_from_ids(pdf["id"].to_numpy())
+
+    return rng_df.mapInPandas(gen, TOKEN_TABLE_SCHEMA)
+
+
+def token_table_pandas_from_ids(ids: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame([doc_row(int(i)) for i in ids])

@@ -1,0 +1,250 @@
+"""As-of join and window operator tests: DuckDB ASOF JOIN oracle, pandas
+merge_asof oracle, leakage property, strategy cross-check, bucket-width
+invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_feature_extraction_spark.operators.asof import asof_join, asof_join_window
+from image_feature_extraction_spark.operators.windows import (
+    backfill,
+    lag_lead,
+    session_stats,
+    sessionize,
+)
+
+
+def _mk_frames():
+    rng = np.random.default_rng(123)
+    n_l, n_r = 400, 150
+    left = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 12, n_l).astype(np.int64),
+            "ts": rng.integers(0, 100_000, n_l).astype(np.int64),
+            "lval": rng.normal(size=n_l),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    right = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 14, n_r).astype(np.int64),  # some absent
+            "ts": rng.integers(0, 100_000, n_r).astype(np.int64),
+            "rval": rng.normal(size=n_r),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    # exact-match timestamp case
+    left.loc[left.index[0], ["entity_id", "ts"]] = [5, 50_000]
+    right = pd.concat(
+        [right, pd.DataFrame({"entity_id": [5], "ts": [50_000], "rval": [7.25]})],
+        ignore_index=True,
+    ).drop_duplicates(["entity_id", "ts"], keep="last")
+    return left.reset_index(drop=True), right.reset_index(drop=True)
+
+
+def _duck_asof(left, right):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.sql(
+        """
+        SELECT l.entity_id, l.ts, l.lval, r.rval
+        FROM l ASOF LEFT JOIN r
+          ON l.entity_id = r.entity_id AND l.ts >= r.ts
+        ORDER BY l.entity_id, l.ts, l.lval
+        """
+    ).df()
+
+
+def _key(df):
+    return df.sort_values(["entity_id", "ts", "lval"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left, right = _mk_frames()
+    return left, right, spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def test_asof_bucketed_matches_duckdb(spark, frames):
+    left, right, ldf, rdf = frames
+    want = _key(_duck_asof(left, right))
+    for width in (1000.0, 7919.0, 1_000_000.0):
+        got = _key(
+            asof_join(ldf, rdf, on="ts", by="entity_id", bucket_width=width)
+            .toPandas()[["entity_id", "ts", "lval", "rval"]]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_window_matches_duckdb(spark, frames):
+    left, right, ldf, rdf = frames
+    want = _key(_duck_asof(left, right))
+    got = _key(
+        asof_join_window(ldf, rdf, on="ts", by="entity_id")
+        .toPandas()[["entity_id", "ts", "lval", "rval"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_zero_leakage(spark, frames):
+    left, right, ldf, rdf = frames
+    out = asof_join(
+        ldf, rdf, on="ts", by="entity_id", bucket_width=5000.0, include_right_on=True
+    ).toPandas()
+    matched = out.dropna(subset=["ts_right"])
+    assert (matched["ts_right"] <= matched["ts"]).all()
+    assert len(out) == len(left)  # left join: every left row exactly once
+
+
+def test_asof_forward_and_nearest(spark, frames):
+    left, right, ldf, rdf = frames
+    for direction in ("forward", "nearest"):
+        got = _key(
+            asof_join(
+                ldf, rdf, on="ts", by="entity_id",
+                direction=direction, bucket_width=3000.0,
+            ).toPandas()[["entity_id", "ts", "lval", "rval"]]
+        )
+        want_pd = (
+            pd.merge_asof(
+                left.sort_values("ts"),
+                right.sort_values("ts"),
+                on="ts",
+                by="entity_id",
+                direction=direction,
+            )
+        )
+        pd.testing.assert_frame_equal(
+            got, _key(want_pd[["entity_id", "ts", "lval", "rval"]]),
+            check_dtype=False, atol=1e-12,
+        )
+
+
+def test_asof_tolerance(spark, frames):
+    left, right, ldf, rdf = frames
+    tol = 2000.0
+    got = _key(
+        asof_join(
+            ldf, rdf, on="ts", by="entity_id", tolerance=tol, bucket_width=4000.0
+        ).toPandas()[["entity_id", "ts", "lval", "rval"]]
+    )
+    want_pd = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="entity_id",
+        direction="backward",
+        tolerance=int(tol),
+    )
+    pd.testing.assert_frame_equal(
+        got, _key(want_pd[["entity_id", "ts", "lval", "rval"]]),
+        check_dtype=False, atol=1e-12,
+    )
+    # window variant with tolerance agrees
+    got_w = _key(
+        asof_join_window(ldf, rdf, on="ts", by="entity_id", tolerance=tol)
+        .toPandas()[["entity_id", "ts", "lval", "rval"]]
+    )
+    pd.testing.assert_frame_equal(got_w, got, check_dtype=False, atol=1e-12)
+
+
+def test_asof_on_driver_events(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        bucket_width=86400.0, include_right_on=True,
+    ).toPandas()
+    assert len(out) == clicks.count()
+    m = out.dropna(subset=["ts_right"])
+    assert (m["ts_right"] <= m["ts"]).all()
+    # oracle
+    con = duckdb.connect()
+    lp = clicks.toPandas()
+    rp = purchases.toPandas()
+    con.register("l", lp)
+    con.register("r", rp)
+    want = con.sql(
+        """SELECT l.user_id, l.ts, l.click_value, r.purchase_value
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.user_id, l.ts"""
+    ).df()
+    got = out[["user_id", "ts", "click_value", "purchase_value"]].sort_values(
+        ["user_id", "ts"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Window ops
+# ---------------------------------------------------------------------------
+
+def test_lag_lead_central_difference(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 3, "t": [1, 2, 3, 4, 5, 1, 2, 3],
+         "v": [1.0, 4.0, 9.0, 16.0, 25.0, 2.0, 4.0, 8.0]}
+    )
+    out = (
+        lag_lead(spark.createDataFrame(pdf), by="k", order="t", value="v")
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    a = out[out.k == "a"]
+    np.testing.assert_allclose(a["v_d1"].iloc[1:-1], [4.0, 6.0, 8.0])
+    np.testing.assert_allclose(a["v_d2"].iloc[1:-1], [2.0, 2.0, 2.0])
+    assert np.isnan(a["v_d1"].iloc[0]) and np.isnan(a["v_d1"].iloc[-1])
+
+
+def test_backfill_causal(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6,
+            "t": [1, 2, 3, 4, 5, 6],
+            "v": [None, 10.0, None, None, 20.0, None],
+        }
+    )
+    out = (
+        backfill(spark.createDataFrame(pdf), by="k", order="t", cols="v")
+        .toPandas()
+        .sort_values("t")
+    )
+    want = [np.nan, 10.0, 10.0, 10.0, 20.0, 20.0]
+    np.testing.assert_array_equal(out["v_filled"].to_numpy(), want)
+
+
+def test_sessionize_gap_rule(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["u1"] * 6 + ["u2"] * 2,
+            "t": [0, 10, 20, 100, 110, 300, 5, 500],
+        }
+    )
+    out = (
+        sessionize(spark.createDataFrame(pdf), by="k", ts="t", gap=50)
+        .toPandas()
+        .sort_values(["k", "t"])
+    )
+    u1 = out[out.k == "u1"]["session_id"].tolist()
+    assert u1 == [1, 1, 1, 2, 2, 3]
+    u2 = out[out.k == "u2"]["session_id"].tolist()
+    assert u2 == [1, 2]
+
+
+def test_session_stats(spark):
+    pdf = pd.DataFrame({"k": ["u"] * 4, "t": [0, 10, 200, 210]})
+    out = (
+        session_stats(spark.createDataFrame(pdf), by="k", ts="t", gap=50)
+        .toPandas()
+        .sort_values("session_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["duration_sec"].tolist() == [10.0, 10.0]

@@ -64,6 +64,30 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make this package importable by Python workers of an EXISTING session
+    (e.g. the driver's own SparkSession, created before our PYTHONPATH
+    export). Ships the package as a zip via addPyFile — the local-mode
+    equivalent of `spark-submit --py-files`."""
+    import tempfile
+    import zipfile
+
+    if getattr(spark, "_ife_pyfiles_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._ife_pyfiles_added = True
+
+
 def sf_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver testdata parquet tables as DataFrames."""
     out = [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]

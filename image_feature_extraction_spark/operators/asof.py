@@ -8,23 +8,25 @@ with the greatest right.ts <= t (backward; forward/nearest variants mirror).
 Zero temporal leakage: a matched right timestamp NEVER exceeds the left
 timestamp in backward mode.
 
-Two physical strategies:
+Two physical strategies, both 100% JVM-side (no Python in the hot path —
+whole-stage codegen end to end):
 
-1. ``asof_join`` — salted/range-bucketed sort-merge (the 100 TB path).
-   Both sides are bucketed on (entity, floor(ts/W)). Per (entity, bucket)
-   the latest right row is computed with one small aggregation, and a
-   bucket-level window (rows = #buckets, not #events) carries the latest
-   earlier right row into each left bucket ("boundary replication").
-   Left and augmented-right are then cogrouped per (entity, bucket) and
-   merged with a vectorized sorted merge (pandas.merge_asof) inside an
-   Arrow-batched applyInPandas. Task size is bounded by the bucket width —
-   a hot entity's year of history splits into many independent tasks, so
-   no single task sees the whole entity (the skew story AQE alone cannot
-   give a window operator).
+1. ``asof_join`` — salted/range-bucketed union-window merge (the 100 TB
+   path). Both sides are bucketed on (entity, floor(ts/W)). Per (entity,
+   bucket) the latest-earlier / earliest-later right payload is computed
+   with one SMALL bucket-level aggregation + a bucket-granularity window
+   (rows = #buckets, not #events), and replicated into each left bucket
+   ("carry-in boundary rows"). Left rows, in-bucket right rows, and carry
+   rows are then unioned and merged with one window partitioned by
+   (entity, bucket) — so a hot entity's year of history splits into many
+   independent tasks and no single task ever sees the whole entity (the
+   skew story a plain entity-partitioned window cannot give). Shuffle
+   cost: one exchange of left+right on (entity, bucket) plus one tiny
+   exchange of bucket aggregates.
 
-2. ``asof_join_window`` — union + last(ignorenulls) window. One shuffle,
-   no Python, fully whole-stage-codegen — optimal when no entity's history
-   overwhelms one task. Used as a cross-check in tests.
+2. ``asof_join_window`` — union + last(ignorenulls) window partitioned by
+   entity alone. One shuffle, minimal plan — optimal when no entity's
+   history overwhelms one task. Used as a cross-check in tests.
 
 DuckDB's native ASOF JOIN is the correctness oracle for both.
 """
@@ -33,7 +35,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
 
 
 def _as_list(x):
@@ -52,11 +53,6 @@ def _ts_double(df: DataFrame, on: str):
     return c.cast("double")
 
 
-def _prep(df: DataFrame, on: str, width: float):
-    d = df.withColumn("_ts_d", _ts_double(df, on))
-    return d.withColumn("_b", F.floor(F.col("_ts_d") / F.lit(float(width))).cast("long"))
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -69,12 +65,12 @@ def asof_join(
     bucket_width: float = 86400.0,
     include_right_on: bool = False,
 ) -> DataFrame:
-    """Bucketed sort-merge as-of join. See module docstring.
+    """Bucketed as-of join. See module docstring.
 
     bucket_width is in the units of ``cast(on AS double)`` (seconds for
     timestamps). Choose it so one entity-bucket of events fits a task
     comfortably; at 10^12 rows with hourly hot-entity bursts, one day is a
-    sane default.
+    sane default. Correctness is bucket-width invariant (tested).
     """
     assert direction in ("backward", "forward", "nearest")
     by_l = _as_list(by)
@@ -83,118 +79,156 @@ def asof_join(
     ]
     out_rnames = [c + suffix if c in left.columns else c for c in rcols]
     right_on_out = f"{on}{suffix}" if include_right_on else None
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
 
-    # Rename every right-side column to a fresh name BEFORE the cogroup.
-    # When left and right share lineage (e.g. two filters of one scan), their
-    # plans carry identical attribute ids; the cogroup plan dedups those and
-    # silently drops the right side's duplicates. A renaming Alias mints new
-    # attribute ids that the optimizer cannot strip.
-    P = "_ra_"
+    W = float(bucket_width)
+    lf = left.withColumn("_ts_d", _ts_double(left, on)).withColumn(
+        "_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long")
+    )
+    # Rename right-side columns up front so self-lineage (left and right
+    # derived from one scan) can't collide on attribute names.
+    P = "_r_"
+    right2 = right.select(
+        *[F.col(c).alias(P + c) for c in by_l],
+        _ts_double(right, on).alias("_ts_d"),
+        F.col(on).alias(P + on),
+        *[F.col(c).alias(P + c) for c in rcols],
+    )
+    rf = right2.withColumn("_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long"))
     r_by = [P + c for c in by_l]
     r_on = P + on
     r_rcols = [P + c for c in rcols]
-    right2 = right.select(
-        *[F.col(c).alias(P + c) for c in [*by_l, on, *rcols]]
-    )
 
-    lf = _prep(left, on, bucket_width)
-    rf = _prep(right2, r_on, bucket_width)
-
-    # ---- boundary replication at bucket granularity ----
+    # Payload struct: ts first, then the right columns — struct ordering
+    # gives a deterministic max/min among equal-timestamp right rows.
     payload = F.struct(
         F.col("_ts_d").alias("_p_ts"),
         F.col(r_on).alias("_p_on"),
         *[F.col(c).alias(c) for c in r_rcols],
     )
-    rlast = rf.groupBy(*r_by, "_b").agg(F.max(payload).alias("_p"))
-    rfirst = rf.groupBy(*r_by, "_b").agg(F.min(payload).alias("_p"))
-    lmark = lf.select(
+    rpay = rf.select(*r_by, "_b", "_ts_d", payload.alias("_p"))
+    ptype = rpay.schema["_p"].dataType
+    lbuckets = lf.select(
         *[F.col(c).alias(rb) for c, rb in zip(by_l, r_by)], "_b"
     ).distinct()
 
-    def _carries(agg_df, forward: bool):
-        # Marker ordering controls strictness at the bucket boundary: for
-        # backward carries the marker sorts BEFORE same-bucket right rows
-        # (carry = latest right row in buckets < b); for forward carries it
-        # sorts AFTER them (carry = earliest right row in buckets > b).
-        # Same-bucket right rows are already in the cogroup.
-        marker_tag = 2 if forward else 0
-        u = agg_df.select(*r_by, "_b", F.lit(1).alias("_tag"), "_p").unionByName(
-            lmark.select(*r_by, "_b", F.lit(marker_tag).alias("_tag"), F.lit(None).cast(
-                agg_df.schema["_p"].dataType
-            ).alias("_p"))
-        )
-        w = Window.partitionBy(*r_by).orderBy("_b", "_tag")
+    def _carries(forward: bool):
+        """Bucket-granularity carry: for each LEFT bucket, the latest right
+        payload from strictly-earlier buckets (backward) or the earliest
+        from strictly-later buckets (forward). Window rows = #buckets."""
         if forward:
-            wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            carry = F.first("_p", ignorenulls=True).over(wf)
+            agg = rpay.groupBy(*r_by, "_b").agg(F.min("_p").alias("_p"))
+            marker_tag = 2  # marker sorts AFTER same-bucket right aggregates
         else:
-            wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            carry = F.last("_p", ignorenulls=True).over(wb)
-        c = (
-            u.withColumn("_c", carry)
-            .where((F.col("_tag") == marker_tag) & F.col("_c").isNotNull())
-            .select(
-                *r_by,
-                "_b",
-                F.col("_c._p_ts").alias("_ts_d"),
-                F.col("_c._p_on").alias(r_on),
-                *[F.col(f"_c.{c2}").alias(c2) for c2 in r_rcols],
+            agg = rpay.groupBy(*r_by, "_b").agg(F.max("_p").alias("_p"))
+            marker_tag = 0  # marker sorts BEFORE same-bucket right aggregates
+        u = agg.select(*r_by, "_b", F.lit(1).alias("_mtag"), "_p").unionByName(
+            lbuckets.select(
+                *r_by, "_b", F.lit(marker_tag).alias("_mtag"),
+                F.lit(None).cast(ptype).alias("_p"),
             )
         )
-        return c
-
-    aug = rf.select(*r_by, "_b", "_ts_d", F.col(r_on), *r_rcols)
-    if direction in ("backward", "nearest"):
-        aug = aug.unionByName(_carries(rlast, forward=False))
-    if direction in ("forward", "nearest"):
-        aug = aug.unionByName(_carries(rfirst, forward=True))
-
-    # ---- cogrouped vectorized sorted merge ----
-    out_fields = list(left.schema.fields)
-    rschema = {f.name: f for f in right.schema.fields}
-    for c, oc in zip(rcols, out_rnames):
-        out_fields.append(StructField(oc, rschema[c].dataType, True))
-    if right_on_out:
-        out_fields.append(StructField(right_on_out, rschema[on].dataType, True))
-    out_schema = StructType(out_fields)
-    left_cols = [f.name for f in left.schema.fields]
-    want_right_ts = right_on_out is not None
-
-    import pandas as pd
-
-    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.sort_values("_ts_d", kind="stable")
-        if rpdf.empty:
-            out = lpdf[left_cols].copy()
-            for oc in out_rnames:
-                out[oc] = None
-            if want_right_ts:
-                out[right_on_out] = pd.NaT if "datetime" in str(lpdf[on].dtype) else None
-            return out
-        rp = rpdf.sort_values(["_ts_d"] + r_rcols, kind="stable").drop_duplicates()
-        rsel = rp[["_ts_d", r_on] + r_rcols].rename(
-            columns=dict(zip([r_on] + r_rcols, ["_r_on"] + out_rnames))
+        w = Window.partitionBy(*r_by).orderBy("_b", "_mtag")
+        if forward:
+            carry = F.first("_p", ignorenulls=True).over(
+                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        else:
+            carry = F.last("_p", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        return (
+            u.withColumn("_c", carry)
+            .where((F.col("_mtag") == marker_tag) & F.col("_c").isNotNull())
+            .select(*r_by, "_b", F.col("_c._p_ts").alias("_ts_d"), F.col("_c").alias("_p"))
         )
-        merged = pd.merge_asof(
-            lpdf,
-            rsel,
-            on="_ts_d",
-            direction=direction,
-            tolerance=tolerance,
-            allow_exact_matches=True,
-        )
-        out = merged[left_cols + out_rnames].copy()
-        if want_right_ts:
-            out[right_on_out] = merged["_r_on"]
-        return out
 
-    joined = (
-        lf.groupBy(*by_l, "_b")
-        .cogroup(aug.groupBy(*r_by, "_b"))
-        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    # ---- the merge union: left rows + in-bucket right rows (+ carries) ----
+    # _tag: 0 = right-ish row, 1 = left row. _pb / _pf carry the payload for
+    # the backward / forward fill respectively (carry rows feed only their
+    # own direction; in-bucket right rows feed both).
+    null_p = F.lit(None).cast(ptype)
+    lkeep = [c for c in left.columns]
+    l_u = lf.select(
+        *[F.col(c).alias(rb) for c, rb in zip(by_l, r_by)],
+        "_b", "_ts_d", F.lit(1).alias("_tag"),
+        null_p.alias("_pb"), null_p.alias("_pf"),
+        *[F.col(c).alias("_l_" + c) for c in lkeep],
     )
-    return joined
+    null_lcols = [
+        F.lit(None).cast(left.schema[c].dataType).alias("_l_" + c) for c in lkeep
+    ]
+    r_u = rpay.select(
+        *r_by, "_b", "_ts_d", F.lit(0).alias("_tag"),
+        F.col("_p").alias("_pb") if want_back else null_p.alias("_pb"),
+        F.col("_p").alias("_pf") if want_fwd else null_p.alias("_pf"),
+        *null_lcols,
+    )
+    parts = [l_u, r_u]
+    if want_back:
+        parts.append(
+            _carries(forward=False).select(
+                *r_by, "_b", "_ts_d", F.lit(0).alias("_tag"),
+                F.col("_p").alias("_pb"), null_p.alias("_pf"), *null_lcols,
+            )
+        )
+    if want_fwd:
+        parts.append(
+            _carries(forward=True).select(
+                *r_by, "_b", "_ts_d", F.lit(0).alias("_tag"),
+                null_p.alias("_pb"), F.col("_p").alias("_pf"), *null_lcols,
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    # Backward: right sorts before left at equal ts -> inclusive match; among
+    # equal-ts right rows last() takes the struct-max payload (deterministic).
+    wb = (
+        Window.partitionBy(*r_by, "_b")
+        .orderBy(F.col("_ts_d").asc(), F.col("_tag").asc(), F.col("_pb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: left sorts before right at equal ts -> the equal-ts right row
+    # is in the following frame; first() takes the struct-min payload.
+    wf = (
+        Window.partitionBy(*r_by, "_b")
+        .orderBy(F.col("_ts_d").asc(), F.col("_tag").desc(), F.col("_pf").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u
+    if want_back:
+        filled = filled.withColumn("_fb", F.last("_pb", ignorenulls=True).over(wb))
+    if want_fwd:
+        filled = filled.withColumn("_ff", F.first("_pf", ignorenulls=True).over(wf))
+    filled = filled.where(F.col("_tag") == 1)
+
+    if direction == "backward":
+        chosen = F.col("_fb")
+    elif direction == "forward":
+        chosen = F.col("_ff")
+    else:  # nearest: pandas semantics — backward wins ties
+        bd = F.col("_ts_d") - F.col("_fb._p_ts")
+        fd = F.col("_ff._p_ts") - F.col("_ts_d")
+        chosen = (
+            F.when(F.col("_fb").isNull(), F.col("_ff"))
+            .when(F.col("_ff").isNull(), F.col("_fb"))
+            .when(bd <= fd, F.col("_fb"))
+            .otherwise(F.col("_ff"))
+        )
+    if tolerance is not None:
+        dist = F.abs(F.col("_ts_d") - chosen["_p_ts"])
+        chosen = F.when(dist <= F.lit(float(tolerance)), chosen)
+    filled = filled.withColumn("_m", chosen)
+
+    sel = [F.col("_l_" + c).alias(c) for c in lkeep] + [
+        F.col(f"_m.{P}{c}").alias(oc) for c, oc in zip(rcols, out_rnames)
+    ]
+    if right_on_out:
+        sel.append(F.col("_m._p_on").alias(right_on_out))
+    return filled.select(*sel)
 
 
 def asof_join_window(

@@ -40,15 +40,24 @@ def extract_features(
     edges: np.ndarray | None = None,
     tokens_col: str = "tokens",
     output_col: str = "features",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a per-doc feature vector column.
 
     Vector layout: scale-major, then feature, then histogram bin
     (reference MakeBag.cxx:459-470). Token arrays pass through unchanged
     (the per-row invariant of BASELINE.json:15).
+
+    num_partitions: repartition (round-robin) before the kernel stage. Set
+    this when the upstream plan ends in a shuffle: AQE coalesces post-
+    shuffle partitions by BYTES, which starves a compute-bound Python stage
+    (bytes are a bad proxy for kernel cost — a 24 MB input can carry 160
+    core-seconds of numpy). On a cluster, size to 2-3x total cores.
     """
     scales_t = tuple(float(s) for s in scales)
     edges_arr = None if edges is None else np.asarray(edges, dtype=np.float64)
+    if num_partitions:
+        df = df.repartition(num_partitions)
     out_schema = StructType(
         df.schema.fields + [StructField(output_col, ArrayType(DoubleType()), False)]
     )

@@ -28,7 +28,12 @@ whole-stage codegen end to end):
    entity alone. One shuffle, minimal plan — optimal when no entity's
    history overwhelms one task. Used as a cross-check in tests.
 
-DuckDB's native ASOF JOIN is the correctness oracle for both.
+3. ``asof_join_broadcast`` — for a SMALL right side (dimension/stats
+   table): broadcast + map-side vectorized searchsorted, ZERO shuffle of
+   the left side; fuses with adjacent mapInPandas stages. This is the
+   10^12-left-rows x 10^5-right-rows production shape.
+
+DuckDB's native ASOF JOIN is the correctness oracle for all three.
 """
 
 from __future__ import annotations
@@ -313,3 +318,134 @@ def asof_join_window(
     if right_on_out:
         sel.append(F.col("_f_on").alias(right_on_out))
     return filled.select(*sel)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by="entity_id",
+    right_cols=None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    include_right_on: bool = False,
+    max_right_rows: int = 5_000_000,
+) -> DataFrame:
+    """As-of join for a SMALL right side: broadcast + map-side searchsorted.
+
+    The big left side is never shuffled — each task matches its rows against
+    a broadcast dict {entity: (sorted ts array, payload arrays)} with one
+    vectorized np.searchsorted per (batch, entity). This is the strategy for
+    the dominant production shape (10^12-row fact vs a per-entity-per-hour
+    stats/dimension table): zero exchange, fuses with adjacent mapInPandas
+    stages into one narrow pass.
+
+    Mirrors the reference's grid-alignment resample where the TARGET grid is
+    dense and the SOURCE samples are sparse (tools/Resample.cxx:83-99).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+    assert direction in ("backward", "forward", "nearest")
+    by_l = _as_list(by)
+    rcols = _as_list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in set(by_l) | {on}
+    ]
+    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
+    right_on_out = f"{on}{suffix}" if include_right_on else None
+
+    rschema = {f.name: f for f in right.schema.fields}
+    out_fields = list(left.schema.fields) + [
+        StructField(oc, rschema[c].dataType, True) for c, oc in zip(rcols, out_rnames)
+    ]
+    if right_on_out:
+        out_fields.append(StructField(right_on_out, rschema[on].dataType, True))
+    out_schema = StructType(out_fields)
+
+    # Collect + index the right side on the driver (counted, bounded).
+    rp = right.select(*by_l, on, *rcols).limit(max_right_rows + 1).toPandas()
+    if len(rp) > max_right_rows:
+        raise ValueError(
+            f"asof_join_broadcast: right side exceeds {max_right_rows} rows; "
+            "use asof_join (bucketed) instead"
+        )
+    left_ts_is_ntz = isinstance(left.schema[on].dataType, TimestampNTZType)
+
+    def _ts_np(series: pd.Series) -> np.ndarray:
+        if np.issubdtype(series.dtype, np.datetime64):
+            return series.to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
+        return series.to_numpy(dtype=np.float64)
+
+    index: dict = {}
+    if len(rp):
+        rp = rp.sort_values([*by_l, on], kind="stable")
+        for key, grp in rp.groupby(by_l, sort=False):
+            k = key if isinstance(key, tuple) else (key,)
+            index[k] = (_ts_np(grp[on]), grp[[on, *rcols]].reset_index(drop=True))
+    sc = left.sparkSession.sparkContext
+    b_index = sc.broadcast(index)
+    lcols = [f.name for f in left.schema.fields]
+
+    def fn(batches):
+        idx = b_index.value
+        for pdf in batches:
+            out = pdf[lcols].copy()
+            lts = _ts_np(pdf[on])
+            take = np.full(len(pdf), -1, dtype=np.int64)
+            grp_of = pdf.groupby(by_l, sort=False).indices
+            for key, rows in grp_of.items():
+                k = key if isinstance(key, tuple) else (key,)
+                ent = idx.get(k)
+                if ent is None:
+                    continue
+                rts, _ = ent
+                t = lts[rows]
+                back = np.searchsorted(rts, t, side="right") - 1
+                if direction == "backward":
+                    sel = back
+                else:
+                    fwd = np.searchsorted(rts, t, side="left")
+                    fwd = np.where(fwd < len(rts), fwd, -1)
+                    if direction == "forward":
+                        sel = fwd
+                    else:  # nearest, backward wins ties
+                        bd = np.where(back >= 0, t - rts[np.clip(back, 0, None)], np.inf)
+                        fd = np.where(fwd >= 0, rts[np.clip(fwd, 0, None)] - t, np.inf)
+                        sel = np.where(bd <= fd, back, fwd)
+                if tolerance is not None:
+                    dist = np.where(sel >= 0, np.abs(t - rts[np.clip(sel, 0, None)]), np.inf)
+                    sel = np.where(dist <= tolerance, sel, -1)
+                take[rows] = sel
+            # encode entity into take: rows of absent entities stay -1
+            for c, oc in zip(rcols, out_rnames):
+                out[oc] = pd.Series([None] * len(pdf), dtype=object)
+            if right_on_out:
+                out[right_on_out] = pd.Series([None] * len(pdf), dtype=object)
+            for key, rows in grp_of.items():
+                k = key if isinstance(key, tuple) else (key,)
+                ent = idx.get(k)
+                if ent is None:
+                    continue
+                _, payload = ent
+                sel = take[rows]
+                ok = sel >= 0
+                if not ok.any():
+                    continue
+                hit_rows = rows[ok]
+                hits = payload.iloc[sel[ok]]
+                for c, oc in zip(rcols, out_rnames):
+                    out.loc[out.index[hit_rows], oc] = hits[c].to_numpy()
+                if right_on_out:
+                    out.loc[out.index[hit_rows], right_on_out] = hits[on].to_numpy()
+            # Numeric object columns coerce fine at the Arrow boundary, but
+            # datetime payloads must be real datetime64 series first.
+            for c, oc in zip(rcols, out_rnames):
+                if len(rp) and np.issubdtype(rp[c].dtype, np.datetime64):
+                    out[oc] = pd.to_datetime(out[oc])
+            if right_on_out and len(rp) and np.issubdtype(rp[on].dtype, np.datetime64):
+                out[right_on_out] = pd.to_datetime(out[right_on_out])
+            yield out
+
+    return left.mapInPandas(fn, out_schema)

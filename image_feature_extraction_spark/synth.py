@@ -37,23 +37,36 @@ def doc_id_of(i: int) -> str:
     return f"doc{i:012d}"
 
 
-def doc_row(i: int) -> dict:
-    """Fully deterministic row for doc index i."""
+def doc_meta(i: int) -> tuple:
+    """(doc_id, n_tok, source, ts) for doc index i — the token-free part of
+    doc_row, cheap enough to evaluate driver-side for stats tables."""
     doc_id = doc_id_of(i)
     seed = _seed(doc_id)
     if i % 101 == 0:  # ~1% hot docs
         n_tok = 2048 + seed % 6145  # [2048, 8192]
     else:
         n_tok = 16 + seed % 1009  # [16, 1024]
+    src = SOURCES[int(np.searchsorted(_SOURCE_CUM, (seed >> 8) % 100, side="right"))]
+    return doc_id, n_tok, src, TS_BASE + i * TS_STEP, seed
+
+
+def doc_meta_pandas(n_docs: int, start: int = 0) -> pd.DataFrame:
+    """Metadata table (doc_id, n_tok, source, ts) without token arrays."""
+    rows = [doc_meta(i)[:4] for i in range(start, start + n_docs)]
+    return pd.DataFrame(rows, columns=["doc_id", "n_tok", "source", "ts"])
+
+
+def doc_row(i: int) -> dict:
+    """Fully deterministic row for doc index i."""
+    doc_id, n_tok, src, ts, seed = doc_meta(i)
     rng = np.random.Generator(np.random.PCG64(seed))
     tokens = rng.integers(0, VOCAB, n_tok, dtype=np.int32)
-    src = SOURCES[int(np.searchsorted(_SOURCE_CUM, (seed >> 8) % 100, side="right"))]
     return {
         "doc_id": doc_id,
         "tokens": tokens,
         "n_tok": np.int32(n_tok),
         "source": src,
-        "ts": np.int64(TS_BASE + i * TS_STEP),
+        "ts": np.int64(ts),
     }
 
 

@@ -248,3 +248,66 @@ def test_session_stats(spark):
     )
     assert out["n_events"].tolist() == [2, 2]
     assert out["duration_sec"].tolist() == [10.0, 10.0]
+
+
+def test_asof_broadcast_matches_duckdb(spark, frames):
+    from image_feature_extraction_spark.operators.asof import asof_join_broadcast
+
+    left, right, ldf, rdf = frames
+    want = _key(_duck_asof(left, right))
+    got = _key(
+        asof_join_broadcast(ldf, rdf, on="ts", by="entity_id")
+        .toPandas()[["entity_id", "ts", "lval", "rval"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_broadcast_directions_and_tolerance(spark, frames):
+    from image_feature_extraction_spark.operators.asof import asof_join_broadcast
+
+    left, right, ldf, rdf = frames
+    for direction, tol in (("forward", None), ("nearest", None), ("backward", 2000.0)):
+        got = _key(
+            asof_join_broadcast(
+                ldf, rdf, on="ts", by="entity_id", direction=direction, tolerance=tol
+            ).toPandas()[["entity_id", "ts", "lval", "rval"]]
+        )
+        want_pd = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="entity_id", direction=direction,
+            tolerance=None if tol is None else int(tol),
+        )
+        pd.testing.assert_frame_equal(
+            got, _key(want_pd[["entity_id", "ts", "lval", "rval"]]),
+            check_dtype=False, atol=1e-12,
+        )
+
+
+def test_asof_broadcast_timestamp_column(spark):
+    from image_feature_extraction_spark.operators.asof import asof_join_broadcast
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join_broadcast(
+        clicks, purchases, on="ts", by="user_id", include_right_on=True
+    ).toPandas()
+    assert len(out) == clicks.count()
+    m = out.dropna(subset=["ts_right"])
+    assert (m["ts_right"] <= m["ts"]).all()
+    con = duckdb.connect()
+    con.register("l", clicks.toPandas())
+    con.register("r", purchases.toPandas())
+    want = con.sql(
+        """SELECT l.user_id, l.ts, l.click_value, r.purchase_value
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.user_id, l.ts"""
+    ).df()
+    got = out[["user_id", "ts", "click_value", "purchase_value"]].sort_values(
+        ["user_id", "ts"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)

@@ -330,6 +330,12 @@ def equalized_edges(sorted_values: np.ndarray, n_bins: int) -> np.ndarray:
             index -= d
             deficit -= d
         pos += index
+        # Divergence from the reference (documented): on duplicate-heavy
+        # inputs the C++ walks pos past the end and reads out of bounds
+        # (DetermineEdgesForEqualizedHistogram.h:85 `edgeValue = *pos` after
+        # the deficit push-forward) — undefined behavior there, clamped
+        # here. Found by hypothesis (e.g. [-2,-1 x6, 0], 4 bins).
+        pos = min(pos, n - 1)
         v = vals[pos]
         lb = int(np.searchsorted(vals[:pos], v, side="left"))
         if lb != pos:

@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a documents table (doc_id, text, ...):
+
+- exact:        content-hash groupBy (md5)                     -> exact dups
+- minhash_lsh:  shingle -> MinHash -> band -> bucket join      -> near dups
+- simhash:      word-hash sign aggregation -> hamming buckets  -> near dups
+- ngram_jaccard: exploded-shingle equi-join -> exact Jaccard   -> near dups
+- embedding:    cosine over an embedding column                -> semantic dups
+
+Design for 10^12 docs: every strategy is shuffle-bounded by its key
+(content hash / band bucket / shingle / simhash prefix), never all-pairs.
+The all-pairs work only happens WITHIN a bucket, and bucket sizes are
+capped by construction (band width tuning). Candidate verification
+(exact Jaccard on candidates) is a second equi-join, not a cross join.
+
+Cross-engine determinism: every hash is md5-derived (first 8 hex chars as
+a BIGINT), reproducible bit-for-bit in DuckDB as
+``('0x' || substr(md5(x), 1, 8))::BIGINT`` — the correctness oracle runs
+the same math in SQL.
+
+Reference lineage: the reference's only dedup is sort+unique of slice
+indices (/root/reference/tools/ExtractSlices.cxx:203-204) and
+set-membership filters (tools/ExtractMaskedRegion.cxx:50-72); the near-dup
+family generalizes its "same content -> same bucket" idea to text/vector
+payloads (standard MinHash/SimHash constructions from Broder 1997 /
+Charikar 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: k hash functions = k affine permutations of the
+# md5-derived shingle hash modulo a Mersenne prime.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_COEFFS = [  # (a, b) pairs, fixed for reproducibility
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 2147483587),
+    (48271, 11),
+    (16807, 7),
+]
+
+
+def md5_long(col):
+    """First 32 bits of md5 as BIGINT — portable to DuckDB as
+    ('0x'||substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def words_of(text_col):
+    """Whitespace tokenization, trim first (matches DuckDB
+    regexp_split_to_array(trim(x), '\\s+'))."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+             out_col: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per doc: one output row per
+    (doc_id, shingle)."""
+    w = words_of(F.col(text_col))
+    gram = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(gram)).alias(out_col))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """Per-doc MinHash signature: h_j = min over shingles of
+    (a_j * (H(shingle) mod p) + b_j) mod p. Docs with fewer than one
+    shingle are dropped (no signature). Output: doc_id, h0..h{k-1}.
+
+    One narrow explode + one groupBy(doc_id) shuffle; the signature is 8
+    longs per doc regardless of doc length.
+    """
+    assert num_hashes <= len(MINHASH_COEFFS)
+    sh = shingles(df, text_col, n)
+    hmod = (md5_long(F.col("shingle")) % MINHASH_PRIME).alias("hm")
+    sh = sh.select("doc_id", hmod)
+    aggs = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_PRIME).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8, band_rows: int = 1) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs agreeing on ALL
+    rows of at least one band become a candidate pair. Output:
+    (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    The join key is (band_idx, band hash values) — an equi join, so the
+    shuffle is keyed and bucket-bounded; no cross join ever happens.
+    """
+    sig = minhash_signatures(df, text_col, n, num_hashes)
+    n_bands = num_hashes // band_rows
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{bi * band_rows + r}")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over word unigrams (Charikar): bit b of the
+    fingerprint is set iff sum over words of (+1 if bit b of H(word) else
+    -1) >= 0. Word multiplicity counts. Output: doc_id, simhash (long).
+
+    One explode + one groupBy(doc_id) with `bits` conditional sums —
+    map-side combinable, shuffle carries `bits` longs per doc.
+    """
+    w = words_of(F.col(text_col))
+    ex = df.select("doc_id", F.explode(w).alias("word"))
+    ex = ex.select("doc_id", md5_long(F.col("word")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_band_pairs(df: DataFrame, text_col: str = "text", bits: int = 16,
+                       band_bits: int = 4) -> DataFrame:
+    """Candidate pairs sharing at least one simhash band (hamming-LSH),
+    with the exact hamming distance attached. Output:
+    (doc_a, doc_b, hamming) for pairs sharing >= 1 of bits/band_bits bands."""
+    sh = simhash(df, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 1,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs: explode distinct
+    shingles, equi-join on shingle, count common, jaccard =
+    common / (|A| + |B| - common). Output: (doc_a, doc_b, common, jaccard).
+
+    The shuffle is keyed by shingle — hot shingles (stopword unigrams) are
+    the skew risk at scale; mitigate with n >= 3 shingles (rarer) or a
+    document-frequency cap filter before the join.
+    """
+    sh = shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "common", "jaccard")
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.48) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force verification
+    shape; at scale run it on LSH-bucketed candidates from
+    similarity.hyperplane_buckets instead of the full cross join).
+
+    Cosine is computed in float64 with a sequential left-to-right sum so
+    the DuckDB oracle (list_cosine_similarity on DOUBLE[]) agrees bitwise.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

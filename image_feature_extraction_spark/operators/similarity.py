@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set x corpus as a keyed join; at 10^12 corpus rows this is the
+  verification path for a candidate set, not the primary search.
+- ``hyperplane_buckets`` / ``lsh_topk``: random-hyperplane (sign) LSH —
+  the scale path. Bucket = sign bits of h fixed hyperplanes; search cost
+  drops from O(corpus) to O(bucket) per query with recall controlled by
+  the number of hyperplanes/tables.
+
+Hyperplane coefficients are md5-derived +-1 (deterministic, engine
+portable) — cosine-of-signs LSH needs only direction-uniform hyperplanes,
+and Rademacher +-1 vectors are direction-uniform enough in 64-D while
+staying exactly representable in SQL for the DuckDB oracle.
+
+All float math is float64 with sequential left-to-right sums so the
+DuckDB oracle (list_cosine_similarity / list_dot_product on DOUBLE[])
+agrees bitwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hyperplane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 coefficients: sign of bit0 of md5(plane:dim)."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"hp:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def _dot(vec_col, coeffs: list[float]):
+    arr = F.array(*[F.lit(c) for c in coeffs])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (n(va) * n(vb))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine per query vector. Deterministic tie-break:
+    (cosine desc, neighbor id asc). Self-matches (same id) excluded.
+
+    Output: (query_id, rank, neighbor_id, cosine)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    coeffs = hyperplane_coeffs(n_planes, dim)
+    bucket = None
+    for p, row in enumerate(coeffs):
+        bit = F.when(_dot(F.col(vec_col), row) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking WITHIN the query's LSH
+    bucket. Bucket join is an equi join on the bucket id — per-query cost
+    is the bucket size, not the corpus size.
+
+    Output: (query_id, rank, neighbor_id, cosine)."""
+    cb = hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        n_planes, dim, "_cv",
+    )
+    qb = hyperplane_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
+        n_planes, dim, "_qv",
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -103,6 +103,86 @@ def sessionize(
     return df.withColumn(session_col, cum)
 
 
+def nearest_event_distance(
+    df: DataFrame,
+    by,
+    ts: str,
+    marker,
+    out_col: str = "dist_to_marker",
+) -> DataFrame:
+    """Distance (in ts units) from each row to the nearest row satisfying
+    `marker` (a boolean Column) within the entity — the relational form of
+    the signed distance map (SignedMaurerDistanceMapImageFilter usage at
+    /root/reference/include/ife/Statistics/ExpectedDistanceFromCenterToInterestPoint.h:16-19):
+    backward + forward as-of against marker rows, then least().
+
+    Null when the entity has no marker rows. One shuffle, two sorts
+    (same partitioning, opposite frame directions).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        tcol = tcol.cast("timestamp")
+    td = tcol.cast("double")
+    mts = F.when(marker, td)
+    wb = _w(by, [ts]).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = _w(by, [ts]).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev = F.last(mts, ignorenulls=True).over(wb)
+    nxt = F.first(mts, ignorenulls=True).over(wf)
+    dist = F.least(
+        F.coalesce(td - prev, F.lit(float("inf"))),
+        F.coalesce(nxt - td, F.lit(float("inf"))),
+    )
+    return df.withColumn(
+        out_col, F.when(prev.isNotNull() | nxt.isNotNull(), dist)
+    )
+
+
+def moving_aggregate(
+    df: DataFrame,
+    by,
+    ts: str,
+    value: str,
+    width: float,
+    out_prefix: str = "mov",
+) -> DataFrame:
+    """Trailing time-range moving aggregates (RANGE frame on the epoch
+    axis): count / sum / mean of `value` over (t - width, t] per entity —
+    the relational analog of Gaussian smoothing along the time axis
+    (SmoothingRecursiveGaussian usage, SURVEY.md §2.3 N3), causal so
+    leakage-free. Sum is computed on DECIMAL for cross-engine exactness."""
+    from pyspark.sql.types import TimestampNTZType
+
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        tcol = tcol.cast("timestamp")
+    d = df.withColumn("_epoch", tcol.cast("double"))
+    # Python's Window.rangeBetween only accepts int boundaries; a fractional
+    # width over a double ordering needs the SQL frame syntax.
+    by_sql = ", ".join(_as_list(by))
+    frame = (
+        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"RANGE BETWEEN {float(width)!r} PRECEDING AND CURRENT ROW"
+    )
+    dec = f"CAST({value} AS DECIMAL(18,2))"
+    return (
+        d.withColumn(f"{out_prefix}_n", F.expr(f"COUNT(1) OVER ({frame})"))
+        .withColumn(
+            f"{out_prefix}_sum",
+            F.expr(f"CAST(SUM({dec}) OVER ({frame}) AS DECIMAL(38,2))"),
+        )
+        .withColumn(
+            f"{out_prefix}_mean",
+            F.expr(
+                f"CAST(SUM({dec}) OVER ({frame}) AS DOUBLE)"
+                f" / CAST(COUNT(1) OVER ({frame}) AS DOUBLE)"
+            ),
+        )
+        .drop("_epoch")
+    )
+
+
 def session_stats(
     df: DataFrame,
     by,

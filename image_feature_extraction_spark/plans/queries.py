@@ -746,3 +746,8 @@ def q_equalized_edges(spark, sf_dir):
 
 
 _register("q_equalized_edges", q_equalized_edges, None)
+
+
+# Training-data-pipeline queries (dedup / similarity / text / extra window
+# coverage) live in a sibling module; importing it extends the registry.
+from . import queries_datapipe  # noqa: E402,F401  (registration side effect)

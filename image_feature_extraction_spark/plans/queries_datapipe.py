@@ -1,0 +1,514 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis,
+plus additional window/aggregation coverage (nearest-event distance, moving
+aggregates, pivot bag assembly, union bag, stratified sampling).
+
+Every query here has an exact DuckDB oracle. The cross-engine contract:
+
+- hashes are md5-derived 32-bit BIGINTs, identical in both engines
+  (Spark conv(substr(md5, 1, 8), 16, 10) == DuckDB ('0x'||substr)::BIGINT);
+- whitespace tokenization is regexp-split on trimmed text in both;
+- float outputs are either exact divisions of integers (IEEE-identical)
+  or rounded after structurally-identical expression trees.
+
+SQL for the bit-twiddling queries (simhash, LSH planes) is GENERATED from
+the same constants the Spark operators use, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators import windows as W
+from .queries import ORACLE_SQL, QUERIES, _register, _t
+
+MD5L = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+# Shared SQL fragments -------------------------------------------------------
+
+SQL_WORDS = r"SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents"
+
+SQL_GRAMS3 = (
+    "SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+    "FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 perms over 3-word shingles) per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, num_hashes=8).orderBy("doc_id")
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a}*hm + {b}) % {D.MINHASH_PRIME}) AS h{j}"
+        for j, (a, b) in enumerate(D.MINHASH_COEFFS[:8])
+    )
+    return f"""
+    WITH words AS ({SQL_WORDS}),
+    grams AS ({SQL_GRAMS3}),
+    h AS (SELECT doc_id, {MD5L.format(x='g')} % {D.MINHASH_PRIME} AS hm FROM grams)
+    SELECT doc_id, {mins} FROM h GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_register("q_dedup_minhash", q_dedup_minhash, _minhash_sql())
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding candidates (8 bands x 1 row): pairs agreeing on >= 1
+    minhash, with the number of agreeing bands."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, num_hashes=8, band_rows=1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    eqs = " + ".join(f"(a.h{j} = b.h{j})::INT" for j in range(8))
+    return f"""
+    WITH sig AS ({_minhash_sql().replace('ORDER BY doc_id', '')})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ({eqs})::BIGINT AS n_bands
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({eqs}) > 0
+    ORDER BY doc_a, doc_b
+    """
+
+
+_register("q_dedup_minhash_lsh", q_dedup_minhash_lsh, _minhash_lsh_sql())
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per doc over word unigrams."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, bits=16).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+    WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents),
+    h AS (SELECT doc_id, {MD5L.format(x='word')} AS h FROM words),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM s ORDER BY doc_id
+    """
+
+
+_register("q_dedup_simhash", q_dedup_simhash, _simhash_sql())
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact word-set Jaccard near-dup pairs (threshold 0.8)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=1, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_register(
+    "q_dedup_jaccard",
+    q_dedup_jaccard,
+    f"""
+    WITH words AS ({SQL_WORDS}),
+    sh AS (SELECT DISTINCT doc_id, unnest(w) AS shingle FROM words),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.48)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, threshold=0.48).orderBy("id_a", "id_b")
+
+
+_register(
+    "q_dedup_embedding",
+    q_dedup_embedding,
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
+    WHERE c >= 0.48 ORDER BY id_a, id_b
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 per query vector (every 50th embedding)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, _query_vectors(spark, sf_dir), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_register(
+    "q_knn_bruteforce",
+    q_knn_bruteforce,
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(c, 6) AS cosine
+    FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate top-5 within the query's hyperplane-LSH bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        e, _query_vectors(spark, sf_dir), k=5, n_planes=8, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_sql() -> str:
+    coeffs = S.hyperplane_coeffs(8, 64)
+    planes = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{c:.1f}" for c in row)
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, ({planes})::BIGINT AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(c, 6) AS cosine
+    FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+_register("q_knn_lsh", q_knn_lsh, _lsh_sql())
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.token_stats(d).orderBy("doc_id")
+
+
+_register(
+    "q_text_tokens",
+    q_text_tokens,
+    f"""
+    WITH words AS ({SQL_WORDS})
+    SELECT doc_id,
+           len(w)::INT AS n_words,
+           len(list_distinct(w))::INT AS n_distinct_words,
+           (SELECT length(text) FROM documents d2 WHERE d2.doc_id = words.doc_id)::INT AS n_chars_measured,
+           len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+')))::INT AS n_alpha_words,
+           list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)::DOUBLE AS mean_word_len
+    FROM words ORDER BY doc_id
+    """,
+)
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.quality_score(d).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in T.QUALITY_STOPWORDS)
+    return f"""
+    WITH words AS ({SQL_WORDS}),
+    m AS (
+      SELECT doc_id,
+             len(w)::INT AS n_words,
+             len(list_filter(w, x -> list_contains([{stop_list}], x)))::INT AS n_stop,
+             len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr,
+             len(list_filter(w, x -> list_contains([{stop_list}], x)))::DOUBLE
+               / len(w)::DOUBLE AS stop_ratio
+      FROM words
+    )
+    SELECT doc_id, n_words, n_stop AS n_stopwords,
+           ROUND(ttr, 6) AS type_token_ratio,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(1000.0 * (0.4 * ttr
+                 + 0.3 * (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1.0 ELSE 0.0 END)), 0
+           )::BIGINT AS quality_score
+    FROM m ORDER BY doc_id
+    """
+
+
+_register("q_text_quality", q_text_quality, _quality_sql())
+
+
+def q_text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.langid(d).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    langs = sorted(T.LANG_MARKERS)  # de, en, es, fr — tie-break order
+    hit_cols = ", ".join(
+        "len(list_filter(w, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        + f"], x)))::INT AS hit_{lang}"
+        for lang in langs
+    )
+    # argmax with ties -> first in sorted(lang) order
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"hit_{lang} >= hit_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    mx = f"greatest({', '.join('hit_' + lang for lang in langs)})"
+    return f"""
+    WITH words AS ({SQL_WORDS}),
+    h AS (SELECT doc_id, {hit_cols} FROM words)
+    SELECT h.doc_id,
+           d.lang AS actual_lang,
+           CASE WHEN {mx} > 0 THEN {case} ELSE 'und' END AS predicted_lang,
+           {mx}::INT AS marker_hits
+    FROM h JOIN documents d ON d.doc_id = h.doc_id
+    ORDER BY h.doc_id
+    """
+
+
+_register("q_text_langid", q_text_langid, _langid_sql())
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.fingerprint(d, n=3).orderBy("doc_id")
+
+
+_register(
+    "q_text_fingerprint",
+    q_text_fingerprint,
+    f"""
+    WITH words AS ({SQL_WORDS}),
+    grams AS ({SQL_GRAMS3}),
+    h AS (SELECT doc_id, {MD5L.format(x='g')} AS h FROM grams)
+    SELECT doc_id, MIN(h) AS min_hash, MAX(h) AS max_hash,
+           bit_xor(h)::BIGINT AS xor_hash, COUNT(*) AS n_shingles
+    FROM h GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Window / aggregation coverage extensions
+# ---------------------------------------------------------------------------
+
+def q_nearest_event(spark, sf_dir):
+    """N7 distance-map analog: seconds to nearest error event per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = W.nearest_event_distance(
+        ev, by="user_id", ts="ts", marker=F.col("event_type") == "error"
+    )
+    return out.select("event_id", "user_id", "dist_to_marker").orderBy("event_id")
+
+
+_register(
+    "q_nearest_event",
+    q_nearest_event,
+    """
+    WITH d AS (
+      SELECT event_id, user_id,
+             epoch(ts) - LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+             FIRST_VALUE(CASE WHEN event_type = 'error' THEN epoch(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - epoch(ts) AS fwd
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+                ELSE LEAST(COALESCE(back, 'inf'::DOUBLE), COALESCE(fwd, 'inf'::DOUBLE))
+           END AS dist_to_marker
+    FROM d ORDER BY event_id
+    """,
+)
+
+
+def q_moving_avg(spark, sf_dir):
+    """N3 relational analog: trailing 1-hour range-frame aggregates."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = W.moving_aggregate(ev, by="user_id", ts="ts", value="value", width=3600.0)
+    return out.select(
+        "event_id", "user_id", "mov_n", "mov_sum", "mov_mean"
+    ).orderBy("event_id")
+
+
+_register(
+    "q_moving_avg",
+    q_moving_avg,
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS mov_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS mov_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w)::DOUBLE AS mov_mean
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "error")
+
+
+def q_pivot_bag(spark, sf_dir):
+    """A4 bag assembly as a relational pivot: per-user event-type histogram
+    counts + frequency normalization (MakeBag.cxx:459-470 column layout)."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for t in _EVENT_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        )
+    out = ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+    freqs = [
+        (F.col(f"n_{t}").cast("double") / F.col("n_total").cast("double")).alias(f"f_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return out.select("user_id", *[f"n_{t}" for t in _EVENT_TYPES], "n_total", *freqs).orderBy(
+        "user_id"
+    )
+
+
+_register(
+    "q_pivot_bag",
+    q_pivot_bag,
+    f"""
+    SELECT user_id,
+           {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _EVENT_TYPES)},
+           COUNT(*) AS n_total,
+           {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS f_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+
+def q_union_bag(spark, sf_dir):
+    """J4 bagged-dataset assembly: two 'bags' (event-type splits) unioned
+    with bag membership + per-bag instance index
+    (MakeBaggedDataset.cxx:73-144)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    ).withColumn("bag_id", F.lit(0))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    ).withColumn("bag_id", F.lit(1))
+    u = clicks.unionByName(purchases)
+    w = Window.partitionBy("bag_id").orderBy("event_id")
+    return (
+        u.withColumn("instance_idx", F.row_number().over(w) - 1)
+        .select("bag_id", "instance_idx", "event_id", "user_id", F.col("value").cast("decimal(18,2)").alias("value"))
+        .orderBy("bag_id", "instance_idx")
+    )
+
+
+_register(
+    "q_union_bag",
+    q_union_bag,
+    """
+    WITH u AS (
+      SELECT event_id, user_id, value, 0 AS bag_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, user_id, value, 1 AS bag_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bag_id,
+           ROW_NUMBER() OVER (PARTITION BY bag_id ORDER BY event_id) - 1 AS instance_idx,
+           event_id, user_id, CAST(value AS DECIMAL(18,2)) AS value
+    FROM u ORDER BY bag_id, instance_idx
+    """,
+)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """R4 stratified sampling with acceptance list: deterministic hash-mod
+    'sample' of non-error events per stratum (md5(event_id) % 10 = 0), so
+    both engines select identical rows; per-stratum counts + value sum."""
+    ev = _t(spark, sf_dir, "events")
+    picked = ev.where(
+        (F.col("event_type") != "error")
+        & (D.md5_long(F.col("event_id").cast("string")) % 10 == 0)
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    "q_stratified_sample",
+    q_stratified_sample,
+    f"""
+    SELECT event_type, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events
+    WHERE event_type <> 'error' AND {MD5L.format(x='event_id::VARCHAR')} % 10 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)

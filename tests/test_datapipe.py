@@ -1,0 +1,188 @@
+"""Tests for the training-data-pipeline operators: dedup (minhash/simhash/
+jaccard/embedding), similarity search, text analysis, and the extra window
+operators (nearest-event distance, moving aggregates)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_feature_extraction_spark.operators import dedup as D
+from image_feature_extraction_spark.operators import similarity as S
+from image_feature_extraction_spark.operators import text as T
+from image_feature_extraction_spark.operators.windows import (
+    moving_aggregate,
+    nearest_event_distance,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words here entirely unrelated text"),
+        (5, "der hund und die katze ist ein tier"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_exact_dup_same_signature(spark, docs):
+    sig = D.minhash_signatures(docs).toPandas().set_index("doc_id")
+    assert (sig.loc[1] == sig.loc[3]).all()
+    # near-dup shares most minhashes; unrelated shares none
+    shared_near = (sig.loc[1] == sig.loc[2]).sum()
+    shared_far = (sig.loc[1] == sig.loc[4]).sum()
+    assert shared_near > shared_far
+
+
+def test_minhash_lsh_pairs_finds_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs).toPandas()
+    keys = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (1, 3) in keys  # exact dup always collides in every band
+    row13 = pairs[(pairs.doc_a == 1) & (pairs.doc_b == 3)]
+    assert row13["n_bands"].iloc[0] == 8
+
+
+def test_simhash_properties(spark, docs):
+    sh = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh.loc[1] == sh.loc[3]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")  # noqa: E731
+    assert ham(sh.loc[1], sh.loc[2]) <= ham(sh.loc[1], sh.loc[4])
+
+
+def test_ngram_jaccard_hand_value(spark, docs):
+    out = D.ngram_jaccard_pairs(docs, n=1, threshold=0.0).toPandas()
+    row = out[(out.doc_a == 1) & (out.doc_b == 2)].iloc[0]
+    # doc1 words {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+    # doc2 swaps dog->cat: common 7, union 9
+    assert row["common"] == 7
+    assert abs(row["jaccard"] - 7 / 9) < 1e-12
+    exact = out[(out.doc_a == 1) & (out.doc_b == 3)].iloc[0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~same direction
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = D.embedding_neardup_pairs(df, threshold=0.9).toPandas()
+    keys = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert keys == {(1, 2)}
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.cosine_topk(df, q, k=4).toPandas()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        want = np.argsort(-s, kind="stable")[:4]
+        g = got[got.query_id == qid].sort_values("rank")["neighbor_id"].to_numpy()
+        np.testing.assert_array_equal(g, want)
+
+
+def test_lsh_same_vector_same_bucket_and_subset_of_brute(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(5, 16)).astype(np.float32)
+    # clusters: 8 tight copies of each base vector
+    vecs, ids = [], []
+    k = 0
+    for b in base:
+        for _ in range(8):
+            vecs.append((b + rng.normal(scale=0.01, size=16).astype(np.float32)))
+            ids.append(k)
+            k += 1
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    b = S.hyperplane_buckets(df, n_planes=6, dim=16).toPandas()
+    # a vector joined with itself lands in its own bucket (determinism)
+    b2 = S.hyperplane_buckets(df, n_planes=6, dim=16).toPandas()
+    pd.testing.assert_frame_equal(
+        b.sort_values("vec_id").reset_index(drop=True)[["vec_id", "bucket"]],
+        b2.sort_values("vec_id").reset_index(drop=True)[["vec_id", "bucket"]],
+    )
+    # most same-cluster members share a bucket (tight clusters, 6 planes)
+    b = b.set_index("vec_id")["bucket"]
+    same = sum(
+        b.loc[c * 8] == b.loc[c * 8 + j] for c in range(5) for j in range(1, 8)
+    )
+    assert same >= 20  # >half of 35 comparisons
+
+
+def test_token_stats_hand(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello world 42 foo  ")], "doc_id long, text string"
+    )
+    out = T.token_stats(df).toPandas().iloc[0]
+    assert out["n_words"] == 4
+    assert out["n_distinct_words"] == 4
+    assert out["n_alpha_words"] == 3  # "42" excluded
+    assert abs(out["mean_word_len"] - (5 + 5 + 2 + 3) / 4) < 1e-12
+
+
+def test_quality_score_bounds(spark, docs):
+    out = T.quality_score(docs).toPandas()
+    assert (out["quality_score"] >= 0).all()
+    assert (out["quality_score"] <= 1000).all()
+    assert (out["stopword_ratio"] <= 1.0).all()
+
+
+def test_langid_markers(spark, docs):
+    out = T.langid(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "predicted_lang"] == "en"  # 'the' x2
+    assert out.loc[5, "predicted_lang"] == "de"  # der/und/die/ist/ein
+    assert out.loc[4, "predicted_lang"] == "und"  # no markers
+
+
+def test_fingerprint_dup_invariance(spark, docs):
+    fp = T.fingerprint(docs).toPandas().set_index("doc_id")
+    assert (fp.loc[1] == fp.loc[3]).all()
+    assert fp.loc[1, "n_shingles"] == 7  # 9 words -> 7 trigrams, all distinct
+    assert (fp.loc[1] != fp.loc[4]).any()
+
+
+def test_nearest_event_distance_hand(spark):
+    rows = [
+        ("u", 0.0, "x"), ("u", 10.0, "err"), ("u", 13.0, "x"),
+        ("u", 30.0, "err"), ("u", 100.0, "x"), ("v", 5.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, typ string")
+    out = (
+        nearest_event_distance(df, by="k", ts="t", marker=F.col("typ") == "err")
+        .toPandas()
+        .sort_values(["k", "t"])
+    )
+    u = out[out.k == "u"]["dist_to_marker"].tolist()
+    assert u == [10.0, 0.0, 3.0, 0.0, 70.0]
+    assert out[out.k == "v"]["dist_to_marker"].isna().all()
+
+
+def test_moving_aggregate_hand(spark):
+    rows = [("u", 0.0, 10.0), ("u", 1800.0, 20.0), ("u", 4000.0, 30.0)]
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    out = (
+        moving_aggregate(df, by="k", ts="t", value="v", width=3600.0)
+        .toPandas()
+        .sort_values("t")
+    )
+    assert out["mov_n"].tolist() == [1, 2, 2]  # t=4000 window covers (400,4000]
+    assert [float(x) for x in out["mov_mean"]] == [10.0, 15.0, 25.0]

@@ -1,0 +1,176 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats non-text payloads as ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched ``mapInPandas`` kernels — the
+same narrow, zero-shuffle shape as the token feature extractor. The
+actual codec work (JPEG decode, audio resample, video frame extraction)
+requires libraries not present in this container, so the codec boundary
+is explicit:
+
+- ``decode_fn='fake'``  — a deterministic md5-seeded decoder producing a
+  fixed-dim feature vector from the payload bytes; real Spark plumbing
+  (schema, batching, partitioning) with a fake codec. Used by tests.
+- ``decode_fn='real'``  — gated behind import; raises NotImplementedError
+  with the dependency name when the library is missing. The call site,
+  batch shape, and output schema are identical to the fake path, so
+  swapping in the real codec changes no plan.
+
+Multimodal rows are heavy (payloads measured in MB); Arrow batch size is
+already bounded by session.py's maxRecordsPerBatch, and the decode stage
+is a narrow map — partitioning is inherited from the file scan, which at
+scale means one task per input-split of the (Iceberg/parquet) table
+holding the payload column.
+
+Reference lineage: the reference's readers hand opaque buffers to typed
+decoders (HR2Reader inflates a zlib payload then reinterprets bytes,
+/root/reference/src/IO/HR2Reader.cxx:52-239) — the same opaque-bytes ->
+typed-array boundary, here at Arrow-batch granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MULTIMODAL_SCHEMA = (
+    "doc_id string, modality string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_DIM = 16
+
+
+def synth_multimodal(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic fake multimodal table: payload bytes and metadata are
+    pure functions of the row index (md5-seeded)."""
+    rng_df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                seed = hashlib.md5(f"mm:{i}".encode()).digest()
+                modality = ("image", "audio", "video")[seed[0] % 3]
+                size = 256 + seed[1] * 7
+                rng = np.random.Generator(np.random.PCG64(int.from_bytes(seed[:8], "little")))
+                payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+                meta = {
+                    "width": 32 + seed[2] % 64 if modality != "audio" else None,
+                    "height": 32 + seed[3] % 64 if modality != "audio" else None,
+                    "sample_rate": 16000 if modality == "audio" else None,
+                    "n_frames": 1 + seed[4] % 30 if modality == "video" else None,
+                }
+                rows.append(
+                    {"doc_id": f"mm{i:09d}", "modality": modality,
+                     "payload": payload, "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return rng_df.mapInPandas(gen, MULTIMODAL_SCHEMA)
+
+
+def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic stand-in for a codec: FEATURE_DIM floats derived from
+    the payload digest — stable across partitionings and engines."""
+    d = hashlib.md5(payload).digest()
+    base = np.frombuffer(d, dtype=np.uint8).astype(np.float64)
+    reps = int(np.ceil(FEATURE_DIM / len(base)))
+    v = np.tile(base, reps)[:FEATURE_DIM]
+    return v / 255.0
+
+
+def _real_decode(payload: bytes, modality: str) -> np.ndarray:
+    if modality == "image":
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires Pillow (not in this container); "
+                "use decode_fn='fake' for plumbing tests"
+            ) from e
+    if modality == "audio":
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real audio decode requires soundfile (not in this container)"
+            ) from e
+    if modality == "video":
+        try:
+            import av  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real video decode requires PyAV (not in this container)"
+            ) from e
+    raise NotImplementedError(f"unknown modality {modality!r}")
+
+
+def extract_multimodal_features(
+    df: DataFrame,
+    decode_fn: str = "fake",
+    output_col: str = "mm_features",
+) -> DataFrame:
+    """Append a FEATURE_DIM-float feature vector per row from the binary
+    payload. Narrow (zero-shuffle) Arrow-batched map; payload passes
+    through unchanged."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    decode = _fake_decode if decode_fn == "fake" else _real_decode
+    out_schema = StructType(
+        df.schema.fields + [StructField(output_col, ArrayType(DoubleType()), False)]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[output_col] = [
+                decode(bytes(p), m) for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    locations=(0.0, 0.5, 1.0),
+    out_col: str = "frame_idx",
+) -> DataFrame:
+    """Fractional frame selection for video rows (ExtractSlices semantics,
+    /root/reference/tools/ExtractSlices.cxx:166-204): round(loc*(n-1)),
+    dedup, one output row per selected frame. Pure column ops — no UDF."""
+    n = F.col("meta.n_frames")
+    idxs = F.array_distinct(
+        F.array(
+            *[
+                F.round(F.lit(loc) * (n - 1)).cast("int")
+                for loc in locations
+            ]
+        )
+    )
+    return (
+        df.where(F.col("modality") == "video")
+        .withColumn(out_col, F.explode(idxs))
+    )
+
+
+def resize_meta(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Metadata-level resize (the codec-side pixel work is behind the
+    decode boundary): rewrite target dimensions for image/video rows."""
+    new_meta = F.struct(
+        F.lit(int(width)).alias("width"),
+        F.lit(int(height)).alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return df.withColumn(
+        "meta",
+        F.when(F.col("modality").isin("image", "video"), new_meta).otherwise(
+            F.col("meta")
+        ),
+    )

@@ -1,0 +1,138 @@
+"""Incremental checkpoint/resume with per-partition lineage and metrics.
+
+The engine processes the 10^12-sequence token table in PARTITION UNITS
+(e.g. Iceberg partition values, or hash buckets of doc_id). For each unit
+it writes:
+
+- the output rows, under ``out_dir/data/part=<unit>/`` (a real Spark
+  partitioned-parquet write, so downstream reads prune on the unit);
+- one LEDGER row under ``out_dir/ledger/`` recording the unit, its input
+  fingerprint, row counts, wall time, and the engine version — the
+  "per-partition lineage rows + metrics written alongside Iceberg
+  snapshots" of the north rule (Iceberg itself is not available in this
+  sandbox; the ledger is the engine-owned equivalent and would live next
+  to the table's snapshot metadata in production).
+
+Resume = anti-join the plan's unit list against the ledger's completed
+units: already-done units are skipped, partially-written data for units
+with NO ledger row is overwritten idempotently (write unit data first,
+ledger row last — a unit is "done" only when its ledger row is durable).
+This gives exactly-once output semantics under at-least-once execution,
+the same commit-protocol idea as Spark's v2 file committers.
+
+Reference lineage: the reference persists generated ROIs next to outputs
+so a re-run reuses them (/root/reference/tools/MakeBag.cxx:286-296) — the
+same "record what was computed so a re-run can skip it" pattern, extended
+with metrics and made idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENGINE_VERSION = "0.1"
+
+LEDGER_SCHEMA = (
+    "unit string, status string, rows_out long, input_fingerprint string, "
+    "wall_sec double, engine_version string, finished_at double"
+)
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "ledger")
+
+
+def _unit_dir(out_dir: str, unit: str) -> str:
+    return os.path.join(out_dir, "data", f"part={unit}")
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The lineage/metrics table (empty if no run yet)."""
+    ld = _ledger_dir(out_dir)
+    files = (
+        [f for f in os.listdir(ld) if f.endswith(".json")]
+        if os.path.isdir(ld)
+        else []
+    )
+    if not files:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+    rows = []
+    for f in sorted(files):
+        with open(os.path.join(ld, f)) as fh:
+            rows.append(json.load(fh))
+    return spark.createDataFrame(rows, LEDGER_SCHEMA)
+
+
+def completed_units(spark: SparkSession, out_dir: str) -> set[str]:
+    led = read_ledger(spark, out_dir)
+    return {
+        r["unit"]
+        for r in led.where(F.col("status") == "done").select("unit").collect()
+    }
+
+
+def pending_units(spark: SparkSession, out_dir: str, all_units: list[str]) -> list[str]:
+    """Resume planning: the anti-join of the plan against the ledger.
+    (Driver-side set difference here; on a cluster with a big unit list
+    this is the same anti-join expressed on DataFrames.)"""
+    done = completed_units(spark, out_dir)
+    return [u for u in all_units if str(u) not in done]
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    out_dir: str,
+    units: list[str],
+    unit_job: Callable[[SparkSession, str], DataFrame],
+    input_fingerprint: Callable[[str], str] | None = None,
+) -> dict:
+    """Run `unit_job(spark, unit)` for every not-yet-done unit, writing
+    unit output then its ledger row (in that order — crash between the two
+    re-runs the unit idempotently on resume).
+
+    Returns {"ran": [...], "skipped": [...], "rows": total_rows}.
+    """
+    os.makedirs(_ledger_dir(out_dir), exist_ok=True)
+    todo = pending_units(spark, out_dir, [str(u) for u in units])
+    skipped = [u for u in map(str, units) if u not in todo]
+    total = 0
+    for unit in todo:
+        t0 = time.time()
+        df = unit_job(spark, unit)
+        udir = _unit_dir(out_dir, unit)
+        if os.path.isdir(udir):  # partial output from a crashed attempt
+            shutil.rmtree(udir)
+        df.write.mode("overwrite").parquet(udir)
+        rows = spark.read.parquet(udir).count()
+        total += rows
+        row = {
+            "unit": unit,
+            "status": "done",
+            "rows_out": rows,
+            "input_fingerprint": (
+                input_fingerprint(unit) if input_fingerprint else ""
+            ),
+            "wall_sec": round(time.time() - t0, 3),
+            "engine_version": ENGINE_VERSION,
+            "finished_at": time.time(),
+        }
+        tmp = os.path.join(_ledger_dir(out_dir), f".{unit}.json.tmp")
+        dst = os.path.join(_ledger_dir(out_dir), f"{unit}.json")
+        with open(tmp, "w") as fh:
+            json.dump(row, fh)
+        os.replace(tmp, dst)  # atomic publish: the unit is now "done"
+    return {"ran": todo, "skipped": skipped, "rows": total}
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the checkpointed output across all completed units."""
+    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
+        os.path.join(out_dir, "data")
+    )

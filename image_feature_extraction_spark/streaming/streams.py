@@ -1,0 +1,167 @@
+"""Structured Streaming operators: watermarked windowed aggregation,
+session windows, and a custom stateful running aggregate.
+
+The reference is strictly batch (SURVEY.md §2.9) — these are the engine's
+forward-looking stream re-expressions of the same semantics:
+
+- ``windowed_counts``: tumbling event-time windows + watermark = the
+  histogram-per-time-bucket of the batch engine with bounded state and
+  late-data tolerance.
+- ``session_aggregate``: native session_window (gap rule) = the batch
+  ``operators.windows.sessionize`` (ROI-boundary rule,
+  RegionOfInterestGenerator.hxx:43-56) with state expiry via watermark.
+- ``running_user_stats``: applyInPandasWithState — per-entity running
+  count/sum surviving across micro-batches; the streaming form of the
+  per-partition ledger metrics.
+
+Batch/stream parity is the correctness gate: availableNow over a static
+file set must equal the batch computation on the same files (tested).
+
+Scale notes: state is keyed by (window x key) / (session x key) and
+bounded by the watermark horizon; shuffle partitioning of the stateful
+operators follows spark.sql.shuffle.partitions. At 10^12-row history the
+stream handles the increment while the batch engine owns the backfill —
+both produce identical rows by construction (same expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def _tz(events: DataFrame, ts: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC in
+    session.py so the cast is stable."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema[ts].dataType, TimestampNTZType):
+        return events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return events
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts + decimal value sum with late-data watermark."""
+    events = _tz(events, ts)
+    tcol = F.col(ts)
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(tcol, window).alias("win"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap rule) per entity."""
+    events = _tz(events, ts)
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = "n long, s double"
+
+
+def running_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-entity
+    running row count + value sum across micro-batches. Emits one row per
+    (entity, micro-batch in which it appeared). The key column keeps its
+    input type."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField(key, events.schema[key].dataType),
+            StructField("batch_rows", LongType()),
+            StructField("total_rows", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    def fn(key_, pdf_iter, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        batch = 0
+        for pdf in pdf_iter:
+            batch += len(pdf)
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                key: [key_[0]],
+                "batch_rows": [batch],
+                "total_rows": [n],
+                "total_value": [s],
+            }
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream with availableNow into an in-memory table `name`
+    (test/demo harness; production sinks are parquet/Iceberg/Kafka)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,109 @@
+"""Sources (SEQ1 binary round-trip, ROI reader, pair-list manifest) and
+multimodal plumbing (synth, fake decode, frame sampling, resize)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from image_feature_extraction_spark.operators import multimodal as MM
+from image_feature_extraction_spark.sources import binary as B
+from image_feature_extraction_spark.sources import textual as TX
+
+
+def test_seq1_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    want = {}
+    for i in range(6):
+        toks = rng.integers(0, 50257, 20 + i * 13, dtype=np.int32)
+        want[f"d{i}"] = toks
+        B.write_seq_file(
+            str(tmp_path / f"f{i}.seq"), f"d{i}", toks, compress=(i % 2 == 0)
+        )
+    out = B.read_seq_files(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert len(out) == 6
+    for did, toks in want.items():
+        np.testing.assert_array_equal(np.asarray(out.loc[did, "tokens"]), toks)
+        assert out.loc[did, "n_tok"] == len(toks)
+
+
+def test_seq1_bad_magic_raises():
+    with pytest.raises(ValueError, match="bad magic"):
+        B.decode_seq_bytes(b"XXXX" + b"\x00" * 20)
+
+
+def test_roi_reader(spark, tmp_path):
+    p = tmp_path / "rois.txt"
+    p.write_text(
+        "[1,2,3][4,5,6]\n"
+        " [ -7 , 8 , 9 ] [ 1 , 1 , 2 ] \n"
+        "garbage line\n"
+        "\n"
+        "[10,11,12][13,14,15]\n"
+    )
+    out = TX.read_roi_file(spark, str(p)).toPandas()
+    good = out[out["_invalid"].isna()].sort_values("x").reset_index(drop=True)
+    assert len(good) == 3
+    assert good.loc[0, ["x", "y", "z", "sx", "sy", "sz"]].tolist() == [-7, 8, 9, 1, 1, 2]
+    bad = out[out["_invalid"].notna()]
+    assert bad["_invalid"].tolist() == ["garbage line"]
+
+
+def test_pair_list(spark, tmp_path):
+    p = tmp_path / "pairs.csv"
+    p.write_text("  img1.nii , mask1.nii \nimg2.nii,mask2.nii\nbroken-line\n")
+    out = TX.read_pair_list(spark, str(p)).toPandas()
+    good = out[out["_invalid"].isna()]
+    assert sorted(good["image"]) == ["img1.nii", "img2.nii"]
+    assert sorted(good["mask"]) == ["mask1.nii", "mask2.nii"]
+    assert out[out["_invalid"].notna()]["_invalid"].tolist() == ["broken-line"]
+
+
+def test_multimodal_synth_and_fake_decode(spark):
+    df = MM.synth_multimodal(spark, 60)
+    out = MM.extract_multimodal_features(df, decode_fn="fake")
+    pdf = out.toPandas()
+    assert len(pdf) == 60
+    assert {len(v) for v in pdf["mm_features"]} == {MM.FEATURE_DIM}
+    assert set(pdf["modality"]) == {"image", "audio", "video"}
+    # determinism across partitionings
+    pdf2 = (
+        MM.extract_multimodal_features(
+            MM.synth_multimodal(spark, 60, partitions=7), decode_fn="fake"
+        )
+        .toPandas()
+    )
+    a = pdf.sort_values("doc_id").reset_index(drop=True)
+    b = pdf2.sort_values("doc_id").reset_index(drop=True)
+    for x, y in zip(a["mm_features"], b["mm_features"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # payload passes through unchanged
+    assert (a["payload"].map(len) > 0).all()
+
+
+def test_multimodal_real_decode_is_gated(spark):
+    df = MM.synth_multimodal(spark, 24).where(F.col("modality") == "image")
+    out = MM.extract_multimodal_features(df, decode_fn="real")
+    if df.count() == 0:
+        pytest.skip("no image rows in tiny sample")
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_frame_sample_and_resize(spark):
+    df = MM.synth_multimodal(spark, 120)
+    frames = MM.frame_sample(df, locations=(0.0, 0.5, 1.0)).toPandas()
+    assert (frames["frame_idx"] >= 0).all()
+    vids = df.where(F.col("modality") == "video").toPandas()
+    for _, v in vids.iterrows():
+        n = v["meta"]["n_frames"]
+        # Spark round() is HALF_UP, unlike Python's banker's rounding
+        want = sorted({int(np.floor(loc * (n - 1) + 0.5)) for loc in (0.0, 0.5, 1.0)})
+        got = sorted(frames[frames.doc_id == v["doc_id"]]["frame_idx"])
+        assert got == want
+    resized = MM.resize_meta(df, 64, 48).toPandas()
+    for _, r in resized.iterrows():
+        if r["modality"] in ("image", "video"):
+            assert (r["meta"]["width"], r["meta"]["height"]) == (64, 48)
+        else:
+            assert r["meta"]["sample_rate"] == 16000

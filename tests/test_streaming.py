@@ -1,0 +1,117 @@
+"""Structured Streaming: batch/stream parity for windowed counts and
+session windows; state persistence across micro-batches for the custom
+stateful operator."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_feature_extraction_spark.streaming import streams as ST
+
+EVENTS_SCHEMA = (
+    "event_id bigint, user_id string, event_type string, value double, "
+    "ts timestamp_ntz"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Static events split into 3 files so maxFilesPerTrigger can force
+    multiple micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    # drop _SUCCESS to keep the file source clean
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(d, f))
+    return d
+
+
+def _schema_of(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_windowed_counts_parity(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    sdf = ST.stream_events(spark, events_dir, _schema_of(spark, events_dir))
+    ST.run_to_memory(ST.windowed_counts(sdf), "wc_stream", "complete")
+    got = (
+        spark.table("wc_stream")
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ST.windowed_counts(batch.withColumn("ts", F.col("ts")))
+        if False
+        else batch.groupBy(
+            F.window(F.col("ts"), "10 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].sum() == batch.count()
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert [str(x) for x in got["sum_value"]] == [str(x) for x in want["sum_value"]]
+
+
+def test_session_window_parity_with_batch_sessionize(spark, events_dir):
+    from image_feature_extraction_spark.operators.windows import session_stats
+
+    batch = spark.read.parquet(events_dir)
+    sdf = ST.stream_events(spark, events_dir, _schema_of(spark, events_dir))
+    ST.run_to_memory(
+        ST.session_aggregate(sdf, gap="30 minutes"), "sess_stream", "complete"
+    )
+    got = spark.table("sess_stream").toPandas()
+    want = session_stats(batch, by="user_id", ts="ts", gap=1800.0).toPandas()
+    # same number of sessions per user, same total events
+    g = got.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    w = want.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    assert (g == w).all().all()
+
+
+def test_running_stats_state_across_batches(spark, events_dir):
+    sdf = ST.stream_events(
+        spark, events_dir, _schema_of(spark, events_dir), max_files_per_trigger=1
+    )
+    out = ST.running_user_stats(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("run_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("run_stream").toPandas()
+    batch = spark.read.parquet(events_dir).toPandas()
+    # multiple micro-batches ran (some user appears in >1 batch)
+    assert got.groupby("user_id").size().max() > 1
+    # final totals match the batch ground truth
+    final = got.sort_values("total_rows").groupby("user_id").tail(1).set_index("user_id")
+    want = batch.groupby("user_id").agg(n=("event_id", "size"), s=("value", "sum"))
+    for uid, row in want.iterrows():
+        assert final.loc[uid, "total_rows"] == row["n"]
+        assert abs(final.loc[uid, "total_value"] - row["s"]) < 1e-6
+    # per-user batch_rows sum == total rows (no loss across batches)
+    assert (
+        got.groupby("user_id")["batch_rows"].sum().sort_index()
+        == want["n"].sort_index()
+    ).all()

@@ -257,32 +257,65 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 1,
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            threshold: float = 0.48) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute-force verification
-    shape; at scale run it on LSH-bucketed candidates from
-    similarity.hyperplane_buckets instead of the full cross join).
+                            threshold: float = 0.48,
+                            max_broadcast_rows: int = 2_000_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via broadcast + blocked numpy
+    matmul: the (normalized) corpus matrix is broadcast, each task computes
+    its rows x all-later-rows similarities vectorized (float64 BLAS), and
+    emits pairs >= threshold. O(n^2 d) flops but Arrow/numpy speed — the
+    verification shape for a candidate set. Beyond max_broadcast_rows,
+    bucket first (similarity.hyperplane_buckets) and run this per bucket.
 
-    Cosine is computed in float64 with a sequential left-to-right sum so
-    the DuckDB oracle (list_cosine_similarity on DOUBLE[]) agrees bitwise.
+    Cosine rounded to 6 decimals; numpy's blocked float64 sums agree with
+    the DuckDB oracle's sequential sums to ~1 ulp, far inside the rounding
+    quantum.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).limit(
+        max_broadcast_rows + 1
+    ).toPandas()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            "embedding_neardup_pairs: corpus too large to broadcast; "
+            "bucket with hyperplane_buckets first"
         )
+    rows = rows.sort_values("id", kind="stable").reset_index(drop=True)
+    ids = rows["id"].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_m = sc.broadcast(M)
+    n = len(ids)
+    chunks = df.sparkSession.range(0, n, 1, min(n, 64)).select(
+        F.col("id").alias("row_idx")
     )
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
-        .where(F.col("cosine") >= threshold)
-    )
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    def fn(batches):
+        ids_ = b_ids.value
+        m_ = b_m.value
+        thr = float(threshold)
+        for pdf in batches:
+            out = []
+            for i in pdf["row_idx"]:
+                i = int(i)
+                if i + 1 >= len(ids_):
+                    continue
+                sims = m_[i + 1 :] @ m_[i]
+                hit = np.flatnonzero(sims >= thr)
+                if len(hit):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids_[i],
+                                "id_b": ids_[i + 1 + hit],
+                                "cosine": np.round(sims[hit], 6),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return chunks.mapInPandas(fn, "id_a long, id_b long, cosine double")

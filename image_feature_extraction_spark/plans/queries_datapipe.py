@@ -110,9 +110,13 @@ _register("q_dedup_simhash", q_dedup_simhash, _simhash_sql())
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """Exact word-set Jaccard near-dup pairs (threshold 0.8)."""
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.05).
+
+    3-word shingles keep the shingle equi-join SPARSE: unigram shingles
+    would make every stopword a hot join key (the classic skew blow-up —
+    measured 148s vs ~5s at sf0.1)."""
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, n=1, threshold=0.8).orderBy("doc_a", "doc_b")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.05).orderBy("doc_a", "doc_b")
 
 
 _register(
@@ -120,7 +124,7 @@ _register(
     q_dedup_jaccard,
     f"""
     WITH words AS ({SQL_WORDS}),
-    sh AS (SELECT DISTINCT doc_id, unnest(w) AS shingle FROM words),
+    sh AS (SELECT doc_id, g AS shingle FROM ({SQL_GRAMS3}) grams),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -132,7 +136,7 @@ _register(
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.8
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.05
     ORDER BY doc_a, doc_b
     """,
 )
@@ -512,3 +516,51 @@ _register(
     GROUP BY event_type ORDER BY event_type
     """,
 )
+
+
+def q_exact_quantiles(spark, sf_dir):
+    """A3 exact distributed equi-depth: per-event-type quartile edges via
+    sort + row_number (no approximation; partition-count invariant)."""
+    from ..operators.quantiles import exact_quantile_values
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quantile_values(ev, value="value", keys="event_type", n_bins=4).orderBy(
+        "event_type", "edge_idx"
+    )
+
+
+_register(
+    "q_exact_quantiles",
+    q_exact_quantiles,
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) - 1 AS pos,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, (j - 1)::INT AS edge_idx, value AS edge_value, n
+    FROM ranked, (VALUES (1), (2), (3)) AS t(j)
+    WHERE pos = (j * n) // 4
+    ORDER BY event_type, edge_idx
+    """,
+)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing demo: synthesized binary payloads -> fake-codec
+    feature vectors (rows-only check; payload synthesis is engine-side and
+    not SQL-reproducible)."""
+    from ..operators.multimodal import extract_multimodal_features, synth_multimodal
+
+    df = synth_multimodal(spark, 128)
+    out = extract_multimodal_features(df, decode_fn="fake")
+    from pyspark.sql import functions as FF
+
+    return out.select(
+        "doc_id", "modality", FF.length("payload").alias("payload_bytes"),
+        FF.size("mm_features").alias("feat_dim"), "mm_features",
+    )
+
+
+_register("q_multimodal_features", q_multimodal_features, None)

@@ -73,10 +73,10 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(gram)).alias(out_col))
-        .distinct()
-    )
+    # array_distinct already dedups within the doc, so exploding it gives
+    # per-(doc_id, shingle) uniqueness for free — a trailing .distinct()
+    # here would cost a full extra shuffle in every consumer for nothing.
+    return df.select("doc_id", F.explode(F.array_distinct(gram)).alias(out_col))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,

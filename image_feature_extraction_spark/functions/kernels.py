@@ -206,6 +206,12 @@ def _pad_edge(x: np.ndarray, axis: int) -> np.ndarray:
     return np.concatenate([first, x, last], axis=axis)
 
 
+def _axslice(nd: int, axis: int, sl: slice) -> tuple:
+    idx = [slice(None)] * nd
+    idx[axis] = sl
+    return tuple(idx)
+
+
 def derivative(x: np.ndarray, direction: int, order: int = 1) -> np.ndarray:
     """Central-difference derivative along cube direction 0/1/2 with
     ZeroFluxNeumann boundary, matching itk::DerivativeImageFilter as
@@ -214,12 +220,13 @@ def derivative(x: np.ndarray, direction: int, order: int = 1) -> np.ndarray:
     axis = -(direction + 1)
     xp = _pad_edge(np.asarray(x, dtype=np.float64), axis)
     n = x.shape[axis]
-    lo = np.take(xp, np.arange(0, n), axis=axis)       # x_{i-1}
-    mid = np.take(xp, np.arange(1, n + 1), axis=axis)  # x_i
-    hi = np.take(xp, np.arange(2, n + 2), axis=axis)   # x_{i+1}
+    nd = xp.ndim
+    lo = xp[_axslice(nd, axis, slice(0, n))]        # x_{i-1} (view)
+    hi = xp[_axslice(nd, axis, slice(2, n + 2))]    # x_{i+1} (view)
     if order == 1:
         return (hi - lo) * 0.5
     if order == 2:
+        mid = xp[_axslice(nd, axis, slice(1, n + 1))]
         return hi - 2.0 * mid + lo
     raise ValueError(f"unsupported derivative order {order}")
 
@@ -257,6 +264,31 @@ def normalized_convolution(img: np.ndarray, cert: np.ndarray, sigma: float) -> n
     den = gauss3(np.asarray(cert, np.float64), sigma)
     ok = den > 0
     return np.where(ok, num / np.where(ok, den, 1.0), 0.0)
+
+
+def emphysema_features_fg(
+    img: np.ndarray,
+    cert: np.ndarray,
+    sigma: float,
+    rows: np.ndarray,
+    cols: np.ndarray,
+) -> np.ndarray:
+    """Per-cell 8-feature values at FOREGROUND cells only, for batched
+    cubes (B,s,s,s): the stencil stages (smoothing, gradient, Hessian)
+    need the full cube, but the pointwise eigen stage — the most
+    expensive — runs only on the (rows, cols) flat-index selection.
+    Returns (len(rows), 8) in FEATURE_NAMES order, bit-identical to
+    gathering emphysema_features(...) at the same cells."""
+    cert = np.asarray(cert, dtype=np.float64)
+    B = img.shape[0]
+    sm = normalized_convolution(img, cert, sigma)
+    gm = gradient_magnitude(sm)
+    H = hessian6(sm)
+    sel_sm = sm.reshape(B, -1)[rows, cols]
+    sel_gm = gm.reshape(B, -1)[rows, cols]
+    sel_H = H.reshape(B, -1, 6)[rows, cols]
+    ef = eigenvalue_features(sel_H)  # (Nfg, 6)
+    return np.concatenate([np.stack([sel_sm, sel_gm], axis=-1), ef], axis=-1)
 
 
 def emphysema_features(img: np.ndarray, cert: np.ndarray, sigma: float) -> np.ndarray:
@@ -495,15 +527,26 @@ def batch_feature_vectors(
             img = img.reshape(B, s, s, s)
             cert = cert.reshape(B, s, s, s)
 
+            flatc = cert.reshape(B, -1)
+            rows, cols = np.nonzero(flatc != 0.0)
+            # per-doc foreground-cell counts (histogram denominators)
+            totals = np.bincount(rows, minlength=B).astype(np.float64)
+            safe_tot = np.where(totals == 0, 1.0, totals)
+            nb = n_edges + 1
             for si, sigma in enumerate(scales):
-                feats = emphysema_features(img, cert, sigma)  # (B,s,s,s,8)
-                flatf = feats.reshape(B, -1, NUM_FEATURES)
-                flatc = cert.reshape(B, -1)
-                for b in range(B):
-                    fg = flatc[b] != 0
-                    vals = flatf[b][fg]
-                    for fi in range(NUM_FEATURES):
-                        freq = histogram_frequencies(vals[:, fi], edges[si, fi])
-                        off = (si * NUM_FEATURES + fi) * (n_edges + 1)
-                        out[idxs[b], off : off + n_edges + 1] = freq
+                # fg-only feature evaluation: the eigen stage (the hot
+                # spot) runs on foreground cells only, not the pad cells.
+                fgfeats = emphysema_features_fg(img, cert, sigma, rows, cols)
+                # Vectorized across docs: one searchsorted + bincount per
+                # (scale, feature) for the whole chunk instead of a Python
+                # loop per doc (measured ~30% of kernel time).
+                for fi in range(NUM_FEATURES):
+                    vals = fgfeats[:, fi]
+                    bins = np.searchsorted(edges[si, fi], vals, side="left")
+                    counts = np.bincount(
+                        rows * nb + bins, minlength=B * nb
+                    ).reshape(B, nb)
+                    freq = counts / safe_tot[:, None]
+                    off = (si * NUM_FEATURES + fi) * nb
+                    out[np.asarray(idxs), off : off + nb] = freq
     return out

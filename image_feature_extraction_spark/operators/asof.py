@@ -383,24 +383,48 @@ def asof_join_broadcast(
         rp = rp.sort_values([*by_l, on], kind="stable")
         for key, grp in rp.groupby(by_l, sort=False):
             k = key if isinstance(key, tuple) else (key,)
-            index[k] = (_ts_np(grp[on]), grp[[on, *rcols]].reset_index(drop=True))
+            payload = {
+                c: (
+                    grp[c].to_numpy().astype("datetime64[us]")
+                    if np.issubdtype(grp[c].dtype, np.datetime64)
+                    else grp[c].to_numpy()
+                )
+                for c in (on, *rcols)
+            }
+            index[k] = (_ts_np(grp[on]), payload)
     sc = left.sparkSession.sparkContext
     b_index = sc.broadcast(index)
     lcols = [f.name for f in left.schema.fields]
 
+    # Output gather targets, typed: float/datetime columns get native
+    # arrays (NaN/NaT missing); everything else object (None missing).
+    gather_cols = list(zip(rcols, out_rnames))
+    if right_on_out:
+        gather_cols.append((on, right_on_out))
+
+    def _alloc(n: int, src: pd.Series):
+        if np.issubdtype(src.dtype, np.datetime64):
+            return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+        if np.issubdtype(src.dtype, np.floating):
+            return np.full(n, np.nan, dtype=np.float64)
+        return np.full(n, None, dtype=object)
+
     def fn(batches):
         idx = b_index.value
         for pdf in batches:
+            n = len(pdf)
             out = pdf[lcols].copy()
             lts = _ts_np(pdf[on])
-            take = np.full(len(pdf), -1, dtype=np.int64)
             grp_of = pdf.groupby(by_l, sort=False).indices
+            targets = (
+                {oc: _alloc(n, rp[c]) for c, oc in gather_cols} if len(rp) else {}
+            )
             for key, rows in grp_of.items():
                 k = key if isinstance(key, tuple) else (key,)
                 ent = idx.get(k)
                 if ent is None:
                     continue
-                rts, _ = ent
+                rts, payload = ent
                 t = lts[rows]
                 back = np.searchsorted(rts, t, side="right") - 1
                 if direction == "backward":
@@ -417,35 +441,15 @@ def asof_join_broadcast(
                 if tolerance is not None:
                     dist = np.where(sel >= 0, np.abs(t - rts[np.clip(sel, 0, None)]), np.inf)
                     sel = np.where(dist <= tolerance, sel, -1)
-                take[rows] = sel
-            # encode entity into take: rows of absent entities stay -1
-            for c, oc in zip(rcols, out_rnames):
-                out[oc] = pd.Series([None] * len(pdf), dtype=object)
-            if right_on_out:
-                out[right_on_out] = pd.Series([None] * len(pdf), dtype=object)
-            for key, rows in grp_of.items():
-                k = key if isinstance(key, tuple) else (key,)
-                ent = idx.get(k)
-                if ent is None:
-                    continue
-                _, payload = ent
-                sel = take[rows]
                 ok = sel >= 0
                 if not ok.any():
                     continue
                 hit_rows = rows[ok]
-                hits = payload.iloc[sel[ok]]
-                for c, oc in zip(rcols, out_rnames):
-                    out.loc[out.index[hit_rows], oc] = hits[c].to_numpy()
-                if right_on_out:
-                    out.loc[out.index[hit_rows], right_on_out] = hits[on].to_numpy()
-            # Numeric object columns coerce fine at the Arrow boundary, but
-            # datetime payloads must be real datetime64 series first.
-            for c, oc in zip(rcols, out_rnames):
-                if len(rp) and np.issubdtype(rp[c].dtype, np.datetime64):
-                    out[oc] = pd.to_datetime(out[oc])
-            if right_on_out and len(rp) and np.issubdtype(rp[on].dtype, np.datetime64):
-                out[right_on_out] = pd.to_datetime(out[right_on_out])
+                hit_sel = sel[ok]
+                for c, oc in gather_cols:
+                    targets[oc][hit_rows] = payload[c][hit_sel]
+            for _c, oc in gather_cols:
+                out[oc] = targets.get(oc, pd.Series([None] * n, dtype=object))
             yield out
 
     return left.mapInPandas(fn, out_schema)

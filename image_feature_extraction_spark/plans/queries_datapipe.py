@@ -564,3 +564,50 @@ def q_multimodal_features(spark, sf_dir):
 
 
 _register("q_multimodal_features", q_multimodal_features, None)
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation over the Zipf-skewed source axis:
+    results are salt-invariant (identical to a plain groupBy — the oracle
+    is the UNSALTED SQL), but no reducer ever sees a whole hot key."""
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n_rows": ("sum", F.count(F.lit(1))),
+            "sum_qty": (
+                "sum",
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            ),
+            "max_price": ("max", F.max(F.col("l_extendedprice").cast("decimal(18,2)"))),
+            "min_price": ("min", F.min(F.col("l_extendedprice").cast("decimal(18,2)"))),
+        },
+        salt_from="l_orderkey",
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
+        "max_price",
+        "min_price",
+    ).orderBy("l_returnflag")
+
+
+_register(
+    "q_salted_agg",
+    q_salted_agg,
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)

@@ -611,3 +611,55 @@ _register(
     ORDER BY l_returnflag
     """,
 )
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward (next-event) as-of join: for each click, the EARLIEST
+    purchase at or after it per user — bucketed JVM strategy, forward
+    direction; DuckDB ASOF with the inequality reversed is the oracle."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        direction="forward", bucket_width=86400.0,
+    )
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+from .queries import _TS_FMT_DUCK  # noqa: E402
+
+_register(
+    "q_asof_forward",
+    q_asof_forward,
+    f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value AS click_value
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS ts_s,
+           c.click_value, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+)

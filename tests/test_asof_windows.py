@@ -311,3 +311,50 @@ def test_asof_broadcast_timestamp_column(spark):
         ["user_id", "ts"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_flagship_asof_no_leakage_and_matches_pandas(spark):
+    """The flagship's broadcast as-of attaches per-source hourly stats
+    stamped at bucket END: a doc must only ever see stats from a strictly
+    earlier hour (zero leakage), and values must equal pandas merge_asof."""
+    import bench
+
+    n = 400
+    feats = bench.flagship_pipeline(spark, n)
+    got = (
+        feats.select("doc_id", "source", "ts", "bucket_docs", "bucket_mean_len")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from image_feature_extraction_spark import synth
+
+    meta = synth.doc_meta_pandas(n)
+    stats = meta.copy()
+    stats["ts"] = (stats["ts"] // 3600) * 3600 + 3600
+    stats = stats.groupby(["source", "ts"], as_index=False).agg(
+        bucket_docs=("doc_id", "count"), bucket_mean_len=("n_tok", "mean")
+    )
+    want = (
+        pd.merge_asof(
+            meta.sort_values("ts"),
+            stats.sort_values("ts"),
+            on="ts",
+            by="source",
+            direction="backward",
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "bucket_docs", "bucket_mean_len"]],
+        want[["doc_id", "bucket_docs", "bucket_mean_len"]],
+        check_dtype=False,
+    )
+    # leakage check: matched stats bucket must END at or before the doc ts
+    m = got.dropna(subset=["bucket_docs"]).merge(
+        stats.rename(columns={"ts": "stat_ts"}),
+        left_on=["source", "bucket_docs", "bucket_mean_len"],
+        right_on=["source", "bucket_docs", "bucket_mean_len"],
+    )
+    assert (m["stat_ts"] <= m["ts"]).all()

@@ -206,8 +206,11 @@ def main() -> None:
     extras["flagship_docs"] = FLAGSHIP_DOCS
     extras["sequences_per_sec"] = round(FLAGSHIP_DOCS / flag_s, 1)
 
-    skip = {"q_flagship_features", "q_equalized_edges"}  # synth-table demos,
-    # superseded by the timed flagship pipeline above
+    skip = {
+        "q_flagship_features",  # superseded by the timed flagship above
+        "q_equalized_edges",    # synth-table demo
+        "q_checkpoint_ledger",  # contract demo (tempdir write/resume)
+    }
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue

@@ -663,3 +663,38 @@ _register(
     ORDER BY c.event_id
     """,
 )
+
+
+def q_checkpoint_ledger(spark, sf_dir):
+    """North-rule lineage surface: run a small checkpointed feature job
+    (2 source units) into a temp dir, then RESUME it (everything skipped),
+    and return the per-partition lineage ledger. Rows-only check — wall
+    times are non-deterministic by nature; determinism of the OUTPUT data
+    is covered by tests/test_checkpoint.py."""
+    import tempfile
+
+    from .. import synth
+    from ..operators.features import extract_features
+    from . import checkpoint as C
+
+    units = ["src0", "src1"]
+
+    def job(spark_, unit):
+        docs = synth.token_table(spark_, 48).where(F.col("source") == unit)
+        return extract_features(docs, scales=(1.0,)).select(
+            "doc_id", "n_tok", "source", "features"
+        )
+
+    with tempfile.TemporaryDirectory() as out:
+        first = C.run_checkpointed(spark, out, units, job)
+        resume = C.run_checkpointed(spark, out, units, job)
+        led = C.read_ledger(spark, out).select(
+            "unit", "status", "rows_out", "engine_version"
+        )
+        assert not resume["ran"], "resume must skip completed units"
+        return led.orderBy("unit").withColumn(
+            "first_run_units", F.lit(len(first["ran"]))
+        )
+
+
+_register("q_checkpoint_ledger", q_checkpoint_ledger, None)

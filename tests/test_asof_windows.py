@@ -358,3 +358,49 @@ def test_flagship_asof_no_leakage_and_matches_pandas(spark):
         right_on=["source", "bucket_docs", "bucket_mean_len"],
     )
     assert (m["stat_ts"] <= m["ts"]).all()
+
+
+def test_asof_multi_key_by(spark):
+    """Composite entity key (by=[k1,k2]) for all three strategies."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join,
+        asof_join_broadcast,
+        asof_join_window,
+    )
+
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 3, 200),
+            "k2": rng.choice(["x", "y"], 200),
+            "ts": rng.integers(0, 10_000, 200).astype(np.int64),
+            "lv": rng.normal(size=200),
+        }
+    ).drop_duplicates(["k1", "k2", "ts"])
+    right = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 3, 80),
+            "k2": rng.choice(["x", "y"], 80),
+            "ts": rng.integers(0, 10_000, 80).astype(np.int64),
+            "rv": rng.normal(size=80),
+        }
+    ).drop_duplicates(["k1", "k2", "ts"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by=["k1", "k2"], direction="backward",
+        )
+        .sort_values(["k1", "k2", "ts", "lv"]).reset_index(drop=True)
+    )[["k1", "k2", "ts", "lv", "rv"]]
+    for fn, kw in (
+        (asof_join, {"bucket_width": 2500.0}),
+        (asof_join_window, {}),
+        (asof_join_broadcast, {}),
+    ):
+        got = (
+            fn(ldf, rdf, on="ts", by=["k1", "k2"], **kw)
+            .toPandas()[["k1", "k2", "ts", "lv", "rv"]]
+            .sort_values(["k1", "k2", "ts", "lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)

@@ -93,8 +93,10 @@ def eig3x3(A: np.ndarray) -> np.ndarray:
 
     p_off = A12 * A12 + A13 * A13 + A23 * A23
     diag = p_off == 0
+    any_diag = bool(diag.any())
 
-    d0, d1, d2 = _diag_order(A11, A22, A33)
+    if any_diag:
+        d0, d1, d2 = _diag_order(A11, A22, A33)
 
     q = (A11 + A22 + A33) / 3.0
     p = (A11 - q) ** 2 + (A22 - q) ** 2 + (A33 - q) ** 2 + 2.0 * p_off
@@ -129,14 +131,17 @@ def eig3x3(A: np.ndarray) -> np.ndarray:
     sw = np.abs(e1) < np.abs(e2)
     e1, e2 = np.where(sw, e2, e1), np.where(sw, e1, e2)
 
-    out = np.stack(
-        [
-            np.where(diag, d0, e0),
-            np.where(diag, d1, e1),
-            np.where(diag, d2, e2),
-        ],
-        axis=-1,
-    )
+    if any_diag:
+        out = np.stack(
+            [
+                np.where(diag, d0, e0),
+                np.where(diag, d1, e1),
+                np.where(diag, d2, e2),
+            ],
+            axis=-1,
+        )
+    else:
+        out = np.stack([e0, e1, e2], axis=-1)
     return out
 
 

@@ -409,13 +409,26 @@ def asof_join_broadcast(
             return np.full(n, np.nan, dtype=np.float64)
         return np.full(n, None, dtype=object)
 
+    # Arrow-native stage: heavy payload columns (token arrays) pass through
+    # untouched as Arrow buffers; only the key/time columns are converted.
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    out_pa_types = {
+        oc: to_arrow_type(rschema[c].dataType) for c, oc in gather_cols
+    }
+
     def fn(batches):
+        import pyarrow as pa
+
         idx = b_index.value
-        for pdf in batches:
-            n = len(pdf)
-            out = pdf[lcols].copy()
-            lts = _ts_np(pdf[on])
-            grp_of = pdf.groupby(by_l, sort=False).indices
+        for rb in batches:
+            n = len(rb)
+            keydf = pa.table(
+                [rb.column(lcols.index(c)) for c in [*by_l, on]],
+                names=[*by_l, on],
+            ).to_pandas()
+            lts = _ts_np(keydf[on])
+            grp_of = keydf.groupby(by_l, sort=False).indices
             targets = (
                 {oc: _alloc(n, rp[c]) for c, oc in gather_cols} if len(rp) else {}
             )
@@ -448,8 +461,18 @@ def asof_join_broadcast(
                 hit_sel = sel[ok]
                 for c, oc in gather_cols:
                     targets[oc][hit_rows] = payload[c][hit_sel]
+            new_cols = []
             for _c, oc in gather_cols:
-                out[oc] = targets.get(oc, pd.Series([None] * n, dtype=object))
-            yield out
+                t = targets.get(oc)
+                if t is None:
+                    new_cols.append(pa.nulls(n, out_pa_types[oc]))
+                else:
+                    new_cols.append(
+                        pa.array(t, type=out_pa_types[oc], from_pandas=True)
+                    )
+            yield pa.record_batch(
+                list(rb.columns) + new_cols,
+                names=lcols + [oc for _c, oc in gather_cols],
+            )
 
-    return left.mapInPandas(fn, out_schema)
+    return left.mapInArrow(fn, out_schema)

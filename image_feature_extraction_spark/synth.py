@@ -81,19 +81,42 @@ TOKEN_TABLE_SCHEMA = (
 
 
 def token_table(spark, n_docs: int, partitions: int | None = None):
-    """Distributed deterministic token table: spark.range + mapInPandas.
+    """Distributed deterministic token table: spark.range + mapInArrow.
 
     Generation is embarrassingly parallel and seed-stable per doc index, so
     the table is identical for any partition count — the property the
-    engine's shuffle-invariance tests rely on.
+    engine's shuffle-invariance tests rely on. Arrow-native construction
+    (flat values + offsets) skips per-row python object boxing for the
+    token arrays.
     """
     rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
-        for pdf in batches:
-            yield token_table_pandas_from_ids(pdf["id"].to_numpy())
+        import pyarrow as pa
 
-    return rng_df.mapInPandas(gen, TOKEN_TABLE_SCHEMA)
+        for rb in batches:
+            ids = rb.column(0).to_numpy()
+            rows = [doc_row(int(i)) for i in ids]
+            lens = np.fromiter((r["n_tok"] for r in rows), np.int32, len(rows))
+            offsets = np.zeros(len(rows) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            flat = (
+                np.concatenate([r["tokens"] for r in rows])
+                if rows
+                else np.empty(0, np.int32)
+            )
+            yield pa.record_batch(
+                [
+                    pa.array([r["doc_id"] for r in rows], pa.string()),
+                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+                    pa.array(lens, pa.int32()),
+                    pa.array([r["source"] for r in rows], pa.string()),
+                    pa.array(np.fromiter((r["ts"] for r in rows), np.int64, len(rows))),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source", "ts"],
+            )
+
+    return rng_df.mapInArrow(gen, TOKEN_TABLE_SCHEMA)
 
 
 def token_table_pandas_from_ids(ids: np.ndarray) -> pd.DataFrame:

@@ -26,10 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Flagship workload size: ~13.5 ms/doc single-threaded for 2 scales
-# (kernels are numpy-bound), so 12k docs ≈ 160 core-seconds ≈ 6 s on 32
-# cores — big enough to amortize scheduling, small enough per-round.
-FLAGSHIP_DOCS = int(os.environ.get("BENCH_FLAGSHIP_DOCS", "12000"))
+# Flagship workload size: ~0.6 ms/doc single-core for 2 scales, ~21k
+# docs/s at local[32] — 48k docs ≈ 2-3 s steady-state, enough to amortize
+# scheduling while keeping the per-round bench fast.
+FLAGSHIP_DOCS = int(os.environ.get("BENCH_FLAGSHIP_DOCS", "48000"))
 SCALES = (1.0, 2.0)
 
 
@@ -188,12 +188,20 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    # Warm-up: JVM/codegen path AND the Python-worker fleet (first Arrow
-    # stage pays ~2s/worker of numpy+scipy import otherwise). Not counted.
+    # Warm-up: JVM/codegen path AND the Python-worker fleet — each worker
+    # imports the kernel module here so the first timed Arrow stage does
+    # not pay the numpy import. Not counted.
     _materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+
+    def _warm(it):
+        from image_feature_extraction_spark.functions import kernels  # noqa: F401
+
+        yield from it
+
     spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
-        lambda it: (p for p in it), "id long"
+        _warm, "id long"
     ).write.format("noop").mode("overwrite").save()
+    _materialize(flagship_pipeline(spark, 2000))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

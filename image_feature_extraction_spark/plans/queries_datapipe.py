@@ -698,3 +698,71 @@ def q_checkpoint_ledger(spark, sf_dir):
 
 
 _register("q_checkpoint_ledger", q_checkpoint_ledger, None)
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """Jaccard over RARE shingles only (document frequency <= 50): the
+    production skew control for the shingle self-join — a shingle shared
+    by k docs creates k^2 join rows, so ubiquitous shingles are excluded
+    from the metric itself (consistently from numerator AND denominator).
+    Exact SQL mirror; word unigrams are usable again under the cap."""
+    from ..operators.dedup import shingles as mk_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = mk_shingles(d, n=1)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 50)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(rare), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    return out.select("doc_a", "doc_b", "common", "jaccard").orderBy("doc_a", "doc_b")
+
+
+_register(
+    "q_dedup_jaccard_capped",
+    q_dedup_jaccard_capped,
+    f"""
+    WITH words AS ({SQL_WORDS}),
+    sh0 AS (SELECT DISTINCT doc_id, unnest(w) AS shingle FROM words),
+    rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)

@@ -404,3 +404,47 @@ def test_asof_multi_key_by(spark):
             .sort_values(["k1", "k2", "ts", "lv"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_bucketed_extreme_skew(spark):
+    """One entity holds 96% of all events (hot-entity skew): the bucketed
+    strategy must stay correct, with tasks bounded by bucket width."""
+    rng = np.random.default_rng(99)
+    n_hot, n_cold = 20_000, 800
+    left = pd.DataFrame(
+        {
+            "entity_id": np.concatenate(
+                [np.zeros(n_hot, np.int64), rng.integers(1, 50, n_cold)]
+            ),
+            "ts": np.concatenate(
+                [
+                    rng.integers(0, 1_000_000, n_hot),
+                    rng.integers(0, 1_000_000, n_cold),
+                ]
+            ).astype(np.int64),
+            "lv": rng.normal(size=n_hot + n_cold),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    right = pd.DataFrame(
+        {
+            "entity_id": np.concatenate(
+                [np.zeros(3000, np.int64), rng.integers(1, 50, 200)]
+            ),
+            "ts": rng.integers(0, 1_000_000, 3200).astype(np.int64),
+            "rv": rng.normal(size=3200),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    # small bucket: the hot entity splits into ~100 independent tasks
+    got = _key(
+        asof_join(ldf, rdf, on="ts", by="entity_id", bucket_width=10_000.0)
+        .toPandas()[["entity_id", "ts", "lv", "rv"]]
+        .rename(columns={"lv": "lval", "rv": "rval"})
+    )
+    want = _key(
+        pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="entity_id", direction="backward",
+        )[["entity_id", "ts", "lv", "rv"]].rename(columns={"lv": "lval", "rv": "rval"})
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)

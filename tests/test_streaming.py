@@ -115,3 +115,56 @@ def test_running_stats_state_across_batches(spark, events_dir):
         got.groupby("user_id")["batch_rows"].sum().sort_index()
         == want["n"].sort_index()
     ).all()
+
+
+def test_streaming_pointintime_enrichment(spark, events_dir):
+    """Leakage-free point-in-time enrichment ON A STREAM: the broadcast
+    as-of join is a stateless narrow map, so it composes with readStream
+    unchanged; availableNow output must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from image_feature_extraction_spark.operators.asof import asof_join_broadcast
+
+    batch = spark.read.parquet(events_dir)
+    purchases = (
+        batch.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    sdf = ST.stream_events(spark, events_dir, batch.schema)
+    clicks_stream = sdf.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    enriched = asof_join_broadcast(
+        clicks_stream, purchases, on="ts", by="user_id", include_right_on=True
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("pit_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("pit_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    clicks_batch = batch.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    want = (
+        asof_join_broadcast(
+            clicks_batch, purchases, on="ts", by="user_id", include_right_on=True
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    m = got.dropna(subset=["ts_right"])
+    assert (m["ts_right"] <= m["ts"]).all()  # zero leakage on the stream

@@ -27,6 +27,9 @@ def _prepared(spark: SparkSession) -> None:
     from image_feature_extraction_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
+    # TZ-pin at runtime: timestamp<->epoch casts inside the window/as-of
+    # operators assume a DST-free session zone (the oracle SQL is TZ-free).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -448,3 +448,27 @@ def test_asof_bucketed_extreme_skew(spark):
         )[["entity_id", "ts", "lv", "rv"]].rename(columns={"lv": "lval", "rv": "rval"})
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_flagship_fused_equals_unfused(spark):
+    """The single-stage fused flagship must equal the 3-operator pipeline
+    row for row (features bit-identical, same as-of matches)."""
+    import bench
+
+    n = 300
+    stats = bench.flagship_stats(spark, n)
+    cols = ["doc_id", "bucket_docs", "bucket_mean_len", "features", "n_tok"]
+    a = (
+        bench.flagship_pipeline(spark, n, stats=stats, fused=True)
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        bench.flagship_pipeline(spark, n, stats=stats, fused=False)
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["features"]), b.drop(columns=["features"]),
+        check_dtype=False,
+    )
+    for x, y in zip(a["features"], b["features"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

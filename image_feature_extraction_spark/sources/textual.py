@@ -70,3 +70,70 @@ def read_pair_list(
         F.col("_invalid").isNotNull()
         | (F.col("image").isNotNull() & (F.col("image") != ""))
     )
+
+
+def read_text_matrix(
+    spark: SparkSession,
+    path: str,
+    col_sep: str = ",",
+) -> DataFrame:
+    """Dense numeric CSV matrix with the reference's rectangularity
+    contract (readTextMatrix, /root/reference/include/ife/IO/IO.h:77-107:
+    the first row fixes the column count, later rows must match — the
+    reference asserts; a distributed reader surfaces offenders).
+
+    Returns (row_idx, values array<double>, n_cols, _invalid): _invalid
+    carries the raw line for rows whose width differs from the first
+    row's or that fail numeric parse. Row order is the file order
+    (zipWithIndex over a single-file text scan).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    lines = spark.read.text(path)
+    rdd = lines.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["value"]))
+    schema = StructType(
+        [
+            StructField("row_idx", LongType()),
+            StructField("values", ArrayType(DoubleType())),
+            StructField("n_cols", IntegerType()),
+            StructField("_invalid", StringType()),
+        ]
+    )
+    parsed = spark.createDataFrame(
+        rdd.map(lambda t: _parse_matrix_row(t[0], t[1], col_sep)), schema
+    )
+    first = parsed.where(
+        (F.col("row_idx") == 0) & F.col("_invalid").isNull()
+    ).select(F.col("n_cols").alias("_want"))
+    out = parsed.crossJoin(F.broadcast(first))
+    return out.select(
+        "row_idx",
+        F.when(F.col("n_cols") == F.col("_want"), F.col("values")).alias("values"),
+        "n_cols",
+        F.coalesce(
+            F.col("_invalid"),
+            F.when(
+                F.col("n_cols") != F.col("_want"),
+                F.concat(F.lit("width mismatch: "), F.col("n_cols").cast("string")),
+            ),
+        ).alias("_invalid"),
+    )
+
+
+def _parse_matrix_row(idx: int, line: str, sep: str):
+    s = line.strip()
+    if not s:
+        return (idx, None, None, "empty line")
+    try:
+        vals = [float(x) for x in s.split(sep)]
+    except ValueError:
+        return (idx, None, None, line)
+    return (idx, vals, len(vals), None)

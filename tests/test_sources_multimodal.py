@@ -107,3 +107,19 @@ def test_frame_sample_and_resize(spark):
             assert (r["meta"]["width"], r["meta"]["height"]) == (64, 48)
         else:
             assert r["meta"]["sample_rate"] == 16000
+
+
+def test_text_matrix_rectangularity(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("1.0,2.0,3.0\n4,5,6\n7,8\nx,y,z\n9,10,11\n")
+    out = (
+        TX.read_text_matrix(spark, str(p))
+        .toPandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    good = out[out["_invalid"].isna()]
+    assert good["row_idx"].tolist() == [0, 1, 4]
+    np.testing.assert_array_equal(np.asarray(good.iloc[0]["values"]), [1.0, 2.0, 3.0])
+    bad = out[out["_invalid"].notna()]
+    assert set(bad["row_idx"]) == {2, 3}  # width mismatch + parse failure

@@ -472,3 +472,44 @@ def test_flagship_fused_equals_unfused(spark):
     )
     for x, y in zip(a["features"], b["features"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_asof_bucket_boundary_timestamps(spark):
+    """Timestamps exactly ON bucket-width multiples — the carry-row edge:
+    a right row at the first instant of bucket b must be matched by left
+    rows in the same bucket but NOT via the carry of bucket b+1's marker,
+    and a left row at a boundary matches the right row at the same ts
+    (inclusive)."""
+    W = 100.0
+    left = pd.DataFrame(
+        {
+            "entity_id": [1] * 6,
+            "ts": [0, 100, 150, 200, 300, 399],  # 0,100,200,300 on boundaries
+            "lval": [10.0, 11.0, 11.5, 12.0, 13.0, 13.9],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "entity_id": [1] * 4,
+            "ts": [0, 100, 200, 300],  # all exactly on boundaries
+            "rval": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = (
+        asof_join(ldf, rdf, on="ts", by="entity_id", bucket_width=W)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert got["rval"].tolist() == [1.0, 2.0, 2.0, 3.0, 4.0, 4.0]
+    # forward at boundaries: inclusive match at equal ts
+    gotf = (
+        asof_join(ldf, rdf, on="ts", by="entity_id", bucket_width=W,
+                  direction="forward")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert gotf["rval"].tolist()[:5] == [1.0, 2.0, 3.0, 3.0, 4.0]
+    assert np.isnan(gotf["rval"].iloc[5])  # nothing after 399

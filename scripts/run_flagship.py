@@ -49,15 +49,9 @@ def main() -> None:
     from image_feature_extraction_spark.operators.asof import asof_join_broadcast
     from image_feature_extraction_spark.operators.features import extract_features
     from image_feature_extraction_spark.plans import checkpoint as C
+    from image_feature_extraction_spark.plans.flagship import flagship_stats
 
-    meta = synth.doc_meta_pandas(args.docs)
-    meta["ts"] = (meta["ts"] // 3600) * 3600 + 3600
-    stats_pdf = meta.groupby(["source", "ts"], as_index=False).agg(
-        bucket_docs=("doc_id", "count"), bucket_mean_len=("n_tok", "mean")
-    )
-    stats = spark.createDataFrame(
-        stats_pdf[["source", "ts", "bucket_docs", "bucket_mean_len"]]
-    )
+    stats = flagship_stats(spark, args.docs)
 
     def unit_job(spark_, unit):
         docs = synth.token_table(spark_, args.docs).where(F.col("source") == unit)

@@ -513,3 +513,46 @@ def test_asof_bucket_boundary_timestamps(spark):
     )
     assert gotf["rval"].tolist()[:5] == [1.0, 2.0, 3.0, 3.0, 4.0]
     assert np.isnan(gotf["rval"].iloc[5])  # nothing after 399
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1234])
+def test_asof_randomized_property(spark, seed):
+    """Randomized shapes vs DuckDB: singleton entities, duplicate left
+    timestamps, negative times, entities missing on either side."""
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 300, 120
+    left = pd.DataFrame(
+        {
+            "entity_id": rng.integers(-3, 8, n_l),
+            "ts": rng.integers(-5_000, 5_000, n_l).astype(np.int64),
+            "lval": np.arange(n_l, dtype=np.float64),  # unique -> stable sort key
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "entity_id": rng.integers(-5, 6, n_r),
+            "ts": rng.integers(-5_000, 5_000, n_r).astype(np.int64),
+            "rval": rng.normal(size=n_r),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        """SELECT l.entity_id, l.ts, l.lval, r.rval
+           FROM l ASOF LEFT JOIN r
+             ON l.entity_id = r.entity_id AND l.ts >= r.ts
+           ORDER BY l.lval"""
+    ).df().reset_index(drop=True)
+    for fn, kw in (
+        (asof_join, {"bucket_width": 997.0}),
+        (asof_join_window, {}),
+    ):
+        got = (
+            fn(ldf, rdf, on="ts", by="entity_id", **kw)
+            .toPandas()[["entity_id", "ts", "lval", "rval"]]
+            .sort_values("lval")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)

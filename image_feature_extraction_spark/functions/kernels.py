@@ -102,23 +102,48 @@ def eig3x3(A: np.ndarray) -> np.ndarray:
     if any_diag:
         d0, d1, d2 = _diag_order(A11, A22, A33)
 
-    q = (A11 + A22 + A33) / 3.0
-    p = (A11 - q) ** 2 + (A22 - q) ** 2 + (A33 - q) ** 2 + 2.0 * p_off
-    p = np.sqrt(p / 6.0)
+    # In-place formulation: identical operations and order to the naive
+    # expression tree (bit-exact — asserted against saved outputs when
+    # introduced), ~40% fewer full-size temporaries; this stage is the
+    # hot spot of the DRAM-bandwidth-bound batch path.
+    q = A11 + A22
+    q += A33
+    q /= 3.0
+    t1 = A11 - q
+    t2 = A22 - q
+    t3 = A33 - q
+    p = t1 * t1
+    p += t2 * t2
+    p += t3 * t3
+    p += 2.0 * p_off
+    p /= 6.0
+    np.sqrt(p, out=p)
     psafe = np.where(p == 0, 1.0, p)
-    B11 = (A11 - q) / psafe
+    B11 = t1
+    B11 /= psafe
     B12 = A12 / psafe
     B13 = A13 / psafe
-    B22 = (A22 - q) / psafe
+    B22 = t2
+    B22 /= psafe
     B23 = A23 / psafe
-    B33 = (A33 - q) / psafe
-    r = (
-        B11 * B22 * B33
-        + 2.0 * B12 * B13 * B23
-        - B23 * B23 * B11
-        - B13 * B13 * B22
-        - B12 * B12 * B33
-    ) / 2.0
+    B33 = t3
+    B33 /= psafe
+    r = B11 * B22
+    r *= B33
+    t = B12 * B13
+    t *= B23
+    t *= 2.0
+    r += t
+    t = B23 * B23
+    t *= B11
+    r -= t
+    t = B13 * B13
+    t *= B22
+    r -= t
+    t = B12 * B12
+    t *= B33
+    r -= t
+    r /= 2.0
 
     phi = np.where(
         r <= -1.0,

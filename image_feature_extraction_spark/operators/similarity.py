@@ -26,13 +26,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def hyperplane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic +-1 coefficients: sign of bit0 of md5(plane:dim)."""
+def hyperplane_coeffs(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Deterministic +-1 coefficients: sign of bit0 of md5(table:plane:dim).
+    `table` seeds independent hash tables for multi-table LSH."""
     out = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"hp:{p}:{d}".encode()).digest()[0]
+            h = hashlib.md5(f"hp:{table}:{p}:{d}".encode()).digest()[0]
             row.append(1.0 if h & 1 else -1.0)
         out.append(row)
     return out
@@ -99,44 +100,71 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
+    table: int = 0,
+    out_col: str = "bucket",
 ) -> DataFrame:
-    """Append an LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
-    coeffs = hyperplane_coeffs(n_planes, dim)
+    """Append an LSH bucket id for one hash table: bit p set iff
+    dot(vec, plane_p) > 0."""
+    coeffs = hyperplane_coeffs(n_planes, dim, table)
     bucket = None
     for p, row in enumerate(coeffs):
         bit = F.when(_dot(F.col(vec_col), row) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket.cast("long"))
+    return df.withColumn(out_col, bucket.cast("long"))
+
+
+def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col):
+    """(table_idx, bucket) exploded rows — one row per (input row, table)."""
+    out = df
+    for t in range(n_tables):
+        out = hyperplane_buckets(out, n_planes, dim, vec_col, table=t, out_col=f"_b{t}")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bkt"))
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        out.withColumn("_tb", F.explode(pairs))
+        .select(
+            *[c for c in df.columns],
+            F.col("_tb.tbl").alias("tbl"),
+            F.col("_tb.bkt").alias("bkt"),
+        )
+    )
 
 
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking WITHIN the query's LSH
-    bucket. Bucket join is an equi join on the bucket id — per-query cost
-    is the bucket size, not the corpus size.
+    """Approximate top-k with MULTI-TABLE hyperplane LSH: candidates are
+    the union over `n_tables` independent tables of same-bucket matches
+    (an equi join on (table, bucket) per side), deduplicated, then scored
+    with the EXACT cosine and ranked. Recall is tuned by (n_planes,
+    n_tables): fewer planes -> bigger buckets; more tables -> more chances
+    to collide. Cost per query is the union of its bucket sizes, never the
+    corpus.
 
     Output: (query_id, rank, neighbor_id, cosine)."""
-    cb = hyperplane_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        n_planes, dim, "_cv",
-    )
-    qb = hyperplane_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")),
-        n_planes, dim, "_qv",
-    )
-    scored = (
-        qb.join(cb, "bucket")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    cb = _table_buckets(c, n_tables, n_planes, dim, "_cv")
+    qb = _table_buckets(q, n_tables, n_planes, dim, "_qv")
+    cand = (
+        qb.join(cb, ["tbl", "bkt"])
         .where(F.col(query_id_col) != F.col("neighbor_id"))
-        .withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+        .select(query_id_col, "neighbor_id", "_qv", "_cv")
+        .distinct()
     )
+    scored = cand.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -203,34 +203,54 @@ _register(
 )
 
 
+_LSH_PLANES = 6
+_LSH_TABLES = 8
+
+
 def q_knn_lsh(spark, sf_dir):
-    """Approximate top-5 within the query's hyperplane-LSH bucket."""
+    """Approximate top-5 via multi-table hyperplane LSH (8 tables x 6
+    planes), exact cosine rescoring of the candidate union."""
     e = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(
-        e, _query_vectors(spark, sf_dir), k=5, n_planes=8, dim=64
+        e, _query_vectors(spark, sf_dir), k=5,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=64,
     ).orderBy("query_id", "rank")
 
 
 def _lsh_sql() -> str:
-    coeffs = S.hyperplane_coeffs(8, 64)
-    planes = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(f"{c:.1f}" for c in row)
-        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(coeffs)
+    def bucket_expr(table: int) -> str:
+        coeffs = S.hyperplane_coeffs(_LSH_PLANES, 64, table)
+        return " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(f"{c:.1f}" for c in row)
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(coeffs)
+        )
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, ({bucket_expr(t)})::BIGINT AS bkt "
+        "FROM embeddings"
+        for t in range(_LSH_TABLES)
     )
     return f"""
-    WITH b AS (SELECT vec_id, embedding, ({planes})::BIGINT AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id % 50 = 0),
+    WITH cb AS ({cb}),
+    qb AS (SELECT vec_id AS query_id, tbl, bkt FROM cb WHERE vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN cb c ON q.tbl = c.tbl AND q.bkt = c.bkt
+      WHERE q.query_id <> c.vec_id
+    ),
     scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) AS c,
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS c,
              ROW_NUMBER() OVER (
-               PARTITION BY q.query_id
-               ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-                        c.vec_id ASC
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+                        cand.neighbor_id ASC
              ) AS rank
-      FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
     )
     SELECT query_id, rank, neighbor_id, ROUND(c, 6) AS cosine
     FROM scored WHERE rank <= 5 ORDER BY query_id, rank

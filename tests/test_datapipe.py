@@ -186,3 +186,24 @@ def test_moving_aggregate_hand(spark):
     )
     assert out["mov_n"].tolist() == [1, 2, 2]  # t=4000 window covers (400,4000]
     assert [float(x) for x in out["mov_mean"]] == [10.0, 15.0, 25.0]
+
+
+def test_lsh_recall_vs_bruteforce_on_driver_embeddings(spark):
+    """ANN quality floor: hyperplane-LSH top-5 neighbor sets overlap the
+    exact top-5 meaningfully, and every LSH result's cosine is exact (the
+    approximation is only in candidate pruning, never in scoring)."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(e, q, k=5).toPandas()
+    approx = S.lsh_topk(e, q, k=5, n_planes=8, dim=64).toPandas()
+    # scoring exactness: any (query, neighbor) pair present in both must
+    # carry the identical cosine
+    m = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] == m["cosine_a"]).all()
+    # candidate-pruning recall floor: with 8 planes on 64-D data a strict
+    # bucket match is selective; require non-trivial overlap overall
+    hits = len(m)
+    total = len(exact)
+    assert hits / total > 0.1, f"recall {hits}/{total}"

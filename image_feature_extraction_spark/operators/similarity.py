@@ -158,12 +158,17 @@ def lsh_topk(
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
     cb = _table_buckets(c, n_tables, n_planes, dim, "_cv")
     qb = _table_buckets(q, n_tables, n_planes, dim, "_qv")
-    cand = (
-        qb.join(cb, ["tbl", "bkt"])
+    # Dedup on IDS ONLY — running distinct over rows that carry the
+    # vectors would shuffle every embedding n_tables times; the vectors
+    # are joined back once per unique candidate pair instead.
+    cand_ids = (
+        qb.select(query_id_col, "tbl", "bkt")
+        .join(cb.select("neighbor_id", "tbl", "bkt"), ["tbl", "bkt"])
         .where(F.col(query_id_col) != F.col("neighbor_id"))
-        .select(query_id_col, "neighbor_id", "_qv", "_cv")
+        .select(query_id_col, "neighbor_id")
         .distinct()
     )
+    cand = cand_ids.join(q, query_id_col).join(c, "neighbor_id")
     scored = cand.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

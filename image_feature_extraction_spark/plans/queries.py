@@ -58,9 +58,11 @@ def q_elementwise_revenue(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(rev).cast("decimal(38,6)").alias("sum_rev"),
-            F.sum(revtax).cast("decimal(38,6)").alias("sum_rev_tax"),
+            # decimal internally for exact sums; DOUBLE on the wire (driver
+            # hashes pandas dtypes — Decimal objects are hash-fragile)
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(rev).cast("double").alias("sum_rev"),
+            F.sum(revtax).cast("double").alias("sum_rev_tax"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -72,14 +74,14 @@ _register(
     q_elementwise_revenue,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS sum_rev,
+                AS DOUBLE) AS sum_rev,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
                     (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS sum_rev_tax,
+                AS DOUBLE) AS sum_rev_tax,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -101,9 +103,9 @@ def q_clamp_threshold_mask(spark, sf_dir):
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sum(clamped).cast("decimal(38,2)").alias("sum_clamped"),
+            F.sum(clamped).cast("double").alias("sum_clamped"),
             F.sum(thresh).cast("long").alias("n_above"),
-            F.sum(masked).cast("decimal(38,2)").alias("sum_masked"),
+            F.sum(masked).cast("double").alias("sum_masked"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("event_type")
@@ -115,11 +117,11 @@ _register(
     q_clamp_threshold_mask,
     """
     SELECT event_type,
-           CAST(SUM(LEAST(GREATEST(CAST(value AS DECIMAL(18,2)), CAST(5 AS DECIMAL(18,2))),
-                          CAST(15 AS DECIMAL(18,2)))) AS DECIMAL(38,2)) AS sum_clamped,
+           CAST(SUM(CAST(LEAST(GREATEST(CAST(value AS DECIMAL(18,2)), CAST(5 AS DECIMAL(18,2))),
+                          CAST(15 AS DECIMAL(18,2))) AS DECIMAL(18,2))) AS DOUBLE) AS sum_clamped,
            CAST(SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            CAST(SUM(CASE WHEN event_type <> 'error' THEN CAST(value AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sum_masked,
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_masked,
            COUNT(*) AS n_rows
     FROM events
     GROUP BY event_type
@@ -139,7 +141,7 @@ def q_membership(spark, sf_dir):
         .groupBy("o_orderpriority", "membership")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("sum_price"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         )
         .orderBy("o_orderpriority", "membership")
     )
@@ -152,7 +154,7 @@ _register(
     SELECT o_orderpriority,
            CASE WHEN o_orderstatus IN ('F','P') THEN 'kept' ELSE 'dropped' END AS membership,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -320,8 +322,8 @@ def q_bounding_box(spark, sf_dir):
         .agg(
             F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("ts_min"),
             F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("ts_max"),
-            F.min(_dec("value")).alias("value_min"),
-            F.max(_dec("value")).alias("value_max"),
+            F.min(_dec("value")).cast("double").alias("value_min"),
+            F.max(_dec("value")).cast("double").alias("value_max"),
             F.count(F.lit(1)).alias("n_fg"),
         )
         .orderBy("user_id")
@@ -335,8 +337,8 @@ _register(
     SELECT user_id,
            strftime(MIN(ts), '{_TS_FMT_DUCK}') AS ts_min,
            strftime(MAX(ts), '{_TS_FMT_DUCK}') AS ts_max,
-           MIN(CAST(value AS DECIMAL(18,2))) AS value_min,
-           MAX(CAST(value AS DECIMAL(18,2))) AS value_max,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max,
            COUNT(*) AS n_fg
     FROM events
     WHERE event_type <> 'error'
@@ -361,7 +363,7 @@ def q_join_equi(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(rev).cast("decimal(38,6)").alias("sum_rev"),
+            F.sum(rev).cast("double").alias("sum_rev"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")
@@ -375,7 +377,7 @@ _register(
     SELECT o_orderpriority,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS sum_rev,
+                AS DOUBLE) AS sum_rev,
            COUNT(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -402,7 +404,7 @@ def q_join_range(spark, sf_dir):
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         )
         .orderBy("band")
     )
@@ -414,7 +416,7 @@ _register(
     """
     WITH bands(lo, hi, band) AS (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'high'))
     SELECT band, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN bands ON l_quantity > lo AND l_quantity <= hi
     GROUP BY band
     ORDER BY band
@@ -428,7 +430,11 @@ def q_topk(spark, sf_dir):
     return (
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
-        .select("o_orderkey", _dec("o_totalprice").alias("totalprice"), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "o_orderpriority",
+        )
     )
 
 
@@ -436,7 +442,7 @@ _register(
     "q_topk",
     q_topk,
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, o_orderpriority
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, o_orderpriority
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
@@ -535,8 +541,8 @@ _register(
       FROM events
     ), sess AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -711,8 +717,18 @@ def q_flagship_features(spark, sf_dir):
 
     df = synth.token_table(spark, FLAGSHIP_DOCS)
     out = extract_features(df, scales=(1.0, 2.0))
+    # The driver canonicalizer needs sortable/hashable (scalar) columns, so
+    # the vector rides as a deterministic digest; the full vectors stay
+    # allclose-gated against the numpy oracle in tests/test_features_e2e.py.
+    digest = F.md5(
+        F.concat_ws(",", F.expr("transform(features, x -> format_string('%.9e', x))"))
+    )
     return out.select(
-        "doc_id", "n_tok", "source", F.size("features").alias("vec_len"), "features"
+        "doc_id",
+        "n_tok",
+        "source",
+        F.size("features").alias("vec_len"),
+        digest.alias("feat_digest"),
     )
 
 
@@ -731,17 +747,22 @@ def q_equalized_edges(spark, sf_dir):
     df = synth.token_table(spark, 128)
     long_df = sample_feature_values(df, scales=(1.0,), doc_fraction=1.0, cells_per_doc=32)
     edges = compute_equalized_edges(long_df, n_scales=1, n_bins=4)
+    # exploded (scale, feature, edge_idx) rows: scalar columns only, so the
+    # driver canonicalizer can sort/hash them
     rows = [
         {
             "scale_idx": si,
             "feature_idx": fi,
-            "edges": [float(x) for x in edges[si, fi]],
+            "edge_idx": ei,
+            "edge_value": float(v),
         }
         for si in range(edges.shape[0])
         for fi in range(edges.shape[1])
+        for ei, v in enumerate(edges[si, fi])
     ]
     return spark.createDataFrame(
-        pd.DataFrame(rows), "scale_idx int, feature_idx int, edges array<double>"
+        pd.DataFrame(rows),
+        "scale_idx int, feature_idx int, edge_idx int, edge_value double",
     )
 
 

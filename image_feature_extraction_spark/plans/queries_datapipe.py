@@ -413,7 +413,11 @@ def q_moving_avg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = W.moving_aggregate(ev, by="user_id", ts="ts", value="value", width=3600.0)
     return out.select(
-        "event_id", "user_id", "mov_n", "mov_sum", "mov_mean"
+        "event_id",
+        "user_id",
+        "mov_n",
+        F.col("mov_sum").cast("double").alias("mov_sum"),
+        "mov_mean",
     ).orderBy("event_id")
 
 
@@ -423,7 +427,7 @@ _register(
     """
     SELECT event_id, user_id,
            COUNT(*) OVER w AS mov_n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS mov_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / (COUNT(*) OVER w)::DOUBLE AS mov_mean
     FROM events
@@ -444,7 +448,9 @@ def q_pivot_bag(spark, sf_dir):
     aggs = []
     for t in _EVENT_TYPES:
         aggs.append(
-            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
         )
     out = ev.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
     freqs = [
@@ -461,7 +467,7 @@ _register(
     q_pivot_bag,
     f"""
     SELECT user_id,
-           {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _EVENT_TYPES)},
+           {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)},
            COUNT(*) AS n_total,
            {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS f_{t}" for t in _EVENT_TYPES)}
     FROM events GROUP BY user_id ORDER BY user_id
@@ -483,8 +489,14 @@ def q_union_bag(spark, sf_dir):
     u = clicks.unionByName(purchases)
     w = Window.partitionBy("bag_id").orderBy("event_id")
     return (
-        u.withColumn("instance_idx", F.row_number().over(w) - 1)
-        .select("bag_id", "instance_idx", "event_id", "user_id", F.col("value").cast("decimal(18,2)").alias("value"))
+        u.withColumn("instance_idx", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            F.col("bag_id").cast("long").alias("bag_id"),
+            "instance_idx",
+            "event_id",
+            "user_id",
+            F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
+        )
         .orderBy("bag_id", "instance_idx")
     )
 
@@ -498,9 +510,9 @@ _register(
       UNION ALL
       SELECT event_id, user_id, value, 1 AS bag_id FROM events WHERE event_type = 'purchase'
     )
-    SELECT bag_id,
-           ROW_NUMBER() OVER (PARTITION BY bag_id ORDER BY event_id) - 1 AS instance_idx,
-           event_id, user_id, CAST(value AS DECIMAL(18,2)) AS value
+    SELECT CAST(bag_id AS BIGINT) AS bag_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bag_id ORDER BY event_id) - 1 AS BIGINT) AS instance_idx,
+           event_id, user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
     FROM u ORDER BY bag_id, instance_idx
     """,
 )
@@ -519,7 +531,7 @@ def q_stratified_sample(spark, sf_dir):
         picked.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -530,7 +542,7 @@ _register(
     q_stratified_sample,
     f"""
     SELECT event_type, COUNT(*) AS n_sampled,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     WHERE event_type <> 'error' AND {MD5L.format(x='event_id::VARCHAR')} % 10 = 0
     GROUP BY event_type ORDER BY event_type
@@ -575,11 +587,19 @@ def q_multimodal_features(spark, sf_dir):
 
     df = synth_multimodal(spark, 128)
     out = extract_multimodal_features(df, decode_fn="fake")
-    from pyspark.sql import functions as FF
-
+    # scalar digest instead of the raw vector: the driver canonicalizer
+    # sorts/hashes columns, and array cells are unhashable in pandas
+    digest = F.md5(
+        F.concat_ws(
+            ",", F.expr("transform(mm_features, x -> format_string('%.9e', x))")
+        )
+    )
     return out.select(
-        "doc_id", "modality", FF.length("payload").alias("payload_bytes"),
-        FF.size("mm_features").alias("feat_dim"), "mm_features",
+        "doc_id",
+        "modality",
+        F.length("payload").alias("payload_bytes"),
+        F.size("mm_features").alias("feat_dim"),
+        digest.alias("feat_digest"),
     )
 
 
@@ -611,9 +631,9 @@ def q_salted_agg(spark, sf_dir):
     return out.select(
         "l_returnflag",
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
-        "max_price",
-        "min_price",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("min_price").cast("double").alias("min_price"),
     ).orderBy("l_returnflag")
 
 
@@ -623,9 +643,9 @@ _register(
     """
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
-           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -713,11 +733,37 @@ def q_checkpoint_ledger(spark, sf_dir):
         )
         assert not resume["ran"], "resume must skip completed units"
         return led.orderBy("unit").withColumn(
-            "first_run_units", F.lit(len(first["ran"]))
+            "first_run_units", F.lit(len(first["ran"])).cast("long")
         )
 
 
-_register("q_checkpoint_ledger", q_checkpoint_ledger, None)
+def _checkpoint_ledger_sql() -> str:
+    """VALUES-literal oracle: expected ledger rows derived independently of
+    the Spark path — per-unit doc counts recomputed driver-side from the
+    deterministic synth generator, engine version from the constant. Wall
+    times/fingerprints are excluded (non-deterministic by nature)."""
+    from .. import synth
+    from . import checkpoint as C
+
+    counts = {"src0": 0, "src1": 0}
+    for i in range(48):
+        src = synth.doc_meta(i)[2]
+        if src in counts:
+            counts[src] += 1
+    values = ", ".join(
+        f"('{u}', 'done', {counts[u]}, '{C.ENGINE_VERSION}', 2)"
+        for u in ("src0", "src1")
+    )
+    return f"""
+    SELECT unit, status, CAST(rows_out AS BIGINT) AS rows_out,
+           engine_version, CAST(first_run_units AS BIGINT) AS first_run_units
+    FROM (VALUES {values})
+         AS t(unit, status, rows_out, engine_version, first_run_units)
+    ORDER BY unit
+    """
+
+
+_register("q_checkpoint_ledger", q_checkpoint_ledger, _checkpoint_ledger_sql())
 
 
 def q_dedup_jaccard_capped(spark, sf_dir):

@@ -28,11 +28,21 @@ TABLES = (
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def wire_risks(df: pd.DataFrame) -> list[str]:
+    """Columns whose pandas representation is hash-fragile for the driver:
+    object dtype holding non-string values (Decimal, lists, ints-from-HUGEINT)
+    sorts/hashes engine-dependently. Final projections must land as int64,
+    float64, str, or bool on BOTH sides."""
+    bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            # Decimal -> str for stable compare
-            df[c] = df[c].map(lambda x: str(x) if x is not None else None)
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+            nonnull = df[c].dropna()
+            if len(nonnull) and not all(isinstance(x, str) for x in nonnull):
+                bad.append(f"{c}:{type(nonnull.iloc[0]).__name__}")
+    return bad
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
@@ -40,7 +50,23 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} duck={len(duck_df)}"
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return f"SCHEMA MISMATCH {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    risks = [f"spark[{r}]" for r in wire_risks(spark_df)] + [
+        f"duck[{r}]" for r in wire_risks(duck_df)
+    ]
+    if risks:
+        return f"WIRE-TYPE RISK {risks}"
     a, b = normalize(spark_df), normalize(duck_df)
+    dt_bad = [
+        c
+        for c in a.columns
+        if a[c].dtype.kind != b[c].dtype.kind
+        and not (a[c].dtype.kind in "iu" and b[c].dtype.kind in "iu")
+    ]
+    if dt_bad:
+        return (
+            "DTYPE MISMATCH "
+            + str([(c, str(a[c].dtype), str(b[c].dtype)) for c in dt_bad])
+        )
     exact_bad = []
     close_bad = []
     for c in a.columns:
@@ -113,7 +139,7 @@ def main():
             continue
         verdict = compare(name, sdf, ddf)
         print(f"{name:28s} {verdict}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-        if verdict.startswith(("ROWCOUNT", "SCHEMA", "VALUE")):
+        if verdict.startswith(("ROWCOUNT", "SCHEMA", "VALUE", "WIRE", "DTYPE")):
             failures += 1
     spark.stop()
     print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")

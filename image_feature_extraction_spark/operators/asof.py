@@ -8,32 +8,42 @@ with the greatest right.ts <= t (backward; forward/nearest variants mirror).
 Zero temporal leakage: a matched right timestamp NEVER exceeds the left
 timestamp in backward mode.
 
-Two physical strategies, both 100% JVM-side (no Python in the hot path —
-whole-stage codegen end to end):
+Physical strategies (``asof_join_auto`` picks between the first two by a
+bounded right-side row-count probe; the rest are opt-in):
 
 1. ``asof_join`` — salted/range-bucketed union-window merge (the 100 TB
-   path). Both sides are bucketed on (entity, floor(ts/W)). Per (entity,
-   bucket) the latest-earlier / earliest-later right payload is computed
-   with one SMALL bucket-level aggregation + a bucket-granularity window
-   (rows = #buckets, not #events), and replicated into each left bucket
-   ("carry-in boundary rows"). Left rows, in-bucket right rows, and carry
-   rows are then unioned and merged with one window partitioned by
-   (entity, bucket) — so a hot entity's year of history splits into many
-   independent tasks and no single task ever sees the whole entity (the
-   skew story a plain entity-partitioned window cannot give). Shuffle
-   cost: one exchange of left+right on (entity, bucket) plus one tiny
-   exchange of bucket aggregates.
+   path), 100% JVM-side / whole-stage codegen. Both sides are bucketed on
+   (entity, floor(ts/W)). Per (entity, bucket) the latest-earlier /
+   earliest-later right payload is computed with one SMALL bucket-level
+   aggregation + a bucket-granularity window (rows = #buckets, not
+   #events), and replicated into each left bucket ("carry-in boundary
+   rows"). Left rows, in-bucket right rows, and carry rows are then
+   unioned and merged with one window partitioned by (entity, bucket) —
+   so a hot entity's year of history splits into many independent tasks
+   and no single task ever sees the whole entity (the skew story a plain
+   entity-partitioned window cannot give). Shuffle cost: one exchange of
+   left+right on (entity, bucket) plus one tiny exchange of bucket
+   aggregates.
 
-2. ``asof_join_window`` — union + last(ignorenulls) window partitioned by
+2. ``asof_join_broadcast`` — for a SMALL right side (dimension/stats
+   table): broadcast + map-side vectorized searchsorted, ZERO shuffle of
+   the left side; fuses with adjacent mapInArrow stages. This is the
+   10^12-left-rows x 10^5-right-rows production shape.
+
+3. ``asof_join_cogroup`` — per-partition index slices for a right side
+   ABOVE broadcast size with benign entity skew: both sides hash-shuffled
+   on entity, per-entity searchsorted merge; each task holds only its
+   entities' slice of the index (never the whole 3 GB stats table).
+
+4. ``asof_join_window`` — union + last(ignorenulls) window partitioned by
    entity alone. One shuffle, minimal plan — optimal when no entity's
    history overwhelms one task. Used as a cross-check in tests.
 
-3. ``asof_join_broadcast`` — for a SMALL right side (dimension/stats
-   table): broadcast + map-side vectorized searchsorted, ZERO shuffle of
-   the left side; fuses with adjacent mapInPandas stages. This is the
-   10^12-left-rows x 10^5-right-rows production shape.
+Directions: backward / forward / nearest, plus "interpolate" (linear
+interpolation between the bracketing samples, reference N8) on the
+bucketed, broadcast, and cogroup strategies.
 
-DuckDB's native ASOF JOIN is the correctness oracle for all three.
+DuckDB's native ASOF JOIN is the correctness oracle for all of them.
 """
 
 from __future__ import annotations
@@ -44,6 +54,68 @@ from pyspark.sql import functions as F
 
 def _as_list(x):
     return [x] if isinstance(x, str) else list(x)
+
+
+def _dt_naive(series):
+    """tz-aware (TIMESTAMP ltz) pandas series -> UTC wall-clock naive;
+    pass-through otherwise. np.issubdtype raises on DatetimeTZDtype, so tz
+    is handled before any numpy dtype check."""
+    import pandas as pd
+
+    if isinstance(series.dtype, pd.DatetimeTZDtype):
+        return series.dt.tz_convert("UTC").dt.tz_localize(None)
+    return series
+
+
+def _ts_np_series(series):
+    """Pandas time/number series -> float64 epoch-seconds array."""
+    import numpy as np
+
+    series = _dt_naive(series)
+    if np.issubdtype(series.dtype, np.datetime64):
+        return series.to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
+    return series.to_numpy(dtype=np.float64)
+
+
+def _np_asof_match(rts, t, direction: str, tolerance):
+    """Vectorized as-of matcher against one entity's sorted right ts array.
+
+    Returns (ok_mask, sel) for backward/forward/nearest — sel[i] indexes rts
+    where ok — or (ok_mask, (bi, fi, frac)) for interpolate, where the
+    output value is vb + (vf - vb) * frac (exact hits give frac == 0).
+    Shared by the broadcast and cogroup physical strategies so their
+    semantics cannot drift."""
+    import numpy as np
+
+    back = np.searchsorted(rts, t, side="right") - 1
+    if direction == "interpolate":
+        fwd = np.searchsorted(rts, t, side="left")
+        ok = (back >= 0) & (fwd < len(rts))
+        bi = np.clip(back, 0, None)
+        fi = np.clip(fwd, 0, len(rts) - 1)
+        tb, tf = rts[bi], rts[fi]
+        if tolerance is not None:
+            ok &= np.maximum(t - tb, tf - t) <= tolerance
+        # expression tree mirrors the bucketed Catalyst strategy exactly
+        # (IEEE-identical): frac = (t - tb) / (tf - tb), 0 when tf == tb
+        denom = tf - tb
+        frac = np.where(denom > 0, (t - tb) / np.where(denom > 0, denom, 1.0), 0.0)
+        return ok, (bi, fi, frac)
+    if direction == "backward":
+        sel = back
+    else:
+        fwd = np.searchsorted(rts, t, side="left")
+        fwd = np.where(fwd < len(rts), fwd, -1)
+        if direction == "forward":
+            sel = fwd
+        else:  # nearest, backward wins ties
+            bd = np.where(back >= 0, t - rts[np.clip(back, 0, None)], np.inf)
+            fd = np.where(fwd >= 0, rts[np.clip(fwd, 0, None)] - t, np.inf)
+            sel = np.where(bd <= fd, back, fwd)
+    if tolerance is not None:
+        dist = np.where(sel >= 0, np.abs(t - rts[np.clip(sel, 0, None)]), np.inf)
+        sel = np.where(dist <= tolerance, sel, -1)
+    return sel >= 0, sel
 
 
 def _ts_double(df: DataFrame, on: str):
@@ -76,16 +148,30 @@ def asof_join(
     timestamps). Choose it so one entity-bucket of events fits a task
     comfortably; at 10^12 rows with hourly hot-entity bursts, one day is a
     sane default. Correctness is bucket-width invariant (tested).
+
+    direction="interpolate" (reference N8: linear interpolation between
+    grid samples, tools/Resample.cxx:83-99, ExtractWindow.cxx:134-150)
+    lerps every right column between the backward and forward matches:
+    value = vb + (vf - vb) * (t - tb) / (tf - tb), exact hits return the
+    sample itself, and rows outside the right-side hull (no bracket on
+    either side) return null — no extrapolation. Right columns must be
+    numeric and are emitted as double. With a tolerance, rows where either
+    bracketing sample is farther than `tolerance` from t are nulled.
     """
-    assert direction in ("backward", "forward", "nearest")
+    assert direction in ("backward", "forward", "nearest", "interpolate")
     by_l = _as_list(by)
     rcols = _as_list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by_l) | {on}
     ]
     out_rnames = [c + suffix if c in left.columns else c for c in rcols]
+    if direction == "interpolate" and include_right_on:
+        raise ValueError(
+            "interpolate blends two right rows; there is no single matched "
+            "right timestamp to include"
+        )
     right_on_out = f"{on}{suffix}" if include_right_on else None
-    want_back = direction in ("backward", "nearest")
-    want_fwd = direction in ("forward", "nearest")
+    want_back = direction in ("backward", "nearest", "interpolate")
+    want_fwd = direction in ("forward", "nearest", "interpolate")
 
     W = float(bucket_width)
     lf = left.withColumn("_ts_d", _ts_double(left, on)).withColumn(
@@ -197,10 +283,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Forward: left sorts before right at equal ts -> the equal-ts right row
-    # is in the following frame; first() takes the struct-min payload.
+    # is in the following frame; first() takes the struct-min payload (_pf
+    # ASC), agreeing with the carry aggregate's F.min for duplicate right
+    # timestamps — the match is identical whether it arrives via carry or
+    # in-bucket, for any bucket_width.
     wf = (
         Window.partitionBy(*r_by, "_b")
-        .orderBy(F.col("_ts_d").asc(), F.col("_tag").desc(), F.col("_pf").desc())
+        .orderBy(F.col("_ts_d").asc(), F.col("_tag").desc(), F.col("_pf").asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = u
@@ -209,6 +298,22 @@ def asof_join(
     if want_fwd:
         filled = filled.withColumn("_ff", F.first("_pf", ignorenulls=True).over(wf))
     filled = filled.where(F.col("_tag") == 1)
+
+    if direction == "interpolate":
+        t = F.col("_ts_d")
+        tb = F.col("_fb._p_ts")
+        tf = F.col("_ff._p_ts")
+        ok = F.col("_fb").isNotNull() & F.col("_ff").isNotNull()
+        if tolerance is not None:
+            ok = ok & (F.greatest(t - tb, tf - t) <= F.lit(float(tolerance)))
+        # exact hit -> tb == tf == t -> frac 0 -> the sample itself
+        frac = F.when(tf > tb, (t - tb) / (tf - tb)).otherwise(F.lit(0.0))
+        sel = [F.col("_l_" + c).alias(c) for c in lkeep]
+        for c, oc in zip(rcols, out_rnames):
+            vb = F.col(f"_fb.{P}{c}").cast("double")
+            vf = F.col(f"_ff.{P}{c}").cast("double")
+            sel.append(F.when(ok, vb + (vf - vb) * frac).alias(oc))
+        return filled.select(*sel)
 
     if direction == "backward":
         chosen = F.col("_fb")
@@ -346,19 +451,26 @@ def asof_join_broadcast(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    assert direction in ("backward", "forward", "nearest")
+    assert direction in ("backward", "forward", "nearest", "interpolate")
     by_l = _as_list(by)
     rcols = _as_list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by_l) | {on}
     ]
     out_rnames = [c + suffix if c in left.columns else c for c in rcols]
+    if direction == "interpolate" and include_right_on:
+        raise ValueError(
+            "interpolate blends two right rows; there is no single matched "
+            "right timestamp to include"
+        )
     right_on_out = f"{on}{suffix}" if include_right_on else None
+    interp = direction == "interpolate"
 
     rschema = {f.name: f for f in right.schema.fields}
     out_fields = list(left.schema.fields) + [
-        StructField(oc, rschema[c].dataType, True) for c, oc in zip(rcols, out_rnames)
+        StructField(oc, DoubleType() if interp else rschema[c].dataType, True)
+        for c, oc in zip(rcols, out_rnames)
     ]
     if right_on_out:
         out_fields.append(StructField(right_on_out, rschema[on].dataType, True))
@@ -369,29 +481,28 @@ def asof_join_broadcast(
     if len(rp) > max_right_rows:
         raise ValueError(
             f"asof_join_broadcast: right side exceeds {max_right_rows} rows; "
-            "use asof_join (bucketed) instead"
+            "use asof_join (bucketed) or asof_join_cogroup instead "
+            "(asof_join_auto picks automatically)"
         )
-    left_ts_is_ntz = isinstance(left.schema[on].dataType, TimestampNTZType)
-
-    def _ts_np(series: pd.Series) -> np.ndarray:
-        if np.issubdtype(series.dtype, np.datetime64):
-            return series.to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
-        return series.to_numpy(dtype=np.float64)
 
     index: dict = {}
     if len(rp):
-        rp = rp.sort_values([*by_l, on], kind="stable")
+        # secondary sort on the payload columns: among duplicate right
+        # timestamps, backward deterministically matches the greatest
+        # payload and forward the least — same contract as the bucketed
+        # strategy's struct-max/min
+        rp = rp.sort_values([*by_l, on, *rcols], kind="stable")
         for key, grp in rp.groupby(by_l, sort=False):
             k = key if isinstance(key, tuple) else (key,)
             payload = {
                 c: (
-                    grp[c].to_numpy().astype("datetime64[us]")
-                    if np.issubdtype(grp[c].dtype, np.datetime64)
+                    _dt_naive(grp[c]).to_numpy().astype("datetime64[us]")
+                    if pd.api.types.is_datetime64_any_dtype(grp[c].dtype)
                     else grp[c].to_numpy()
                 )
                 for c in (on, *rcols)
             }
-            index[k] = (_ts_np(grp[on]), payload)
+            index[k] = (_ts_np_series(grp[on]), payload)
     sc = left.sparkSession.sparkContext
     b_index = sc.broadcast(index)
     lcols = [f.name for f in left.schema.fields]
@@ -403,7 +514,9 @@ def asof_join_broadcast(
         gather_cols.append((on, right_on_out))
 
     def _alloc(n: int, src: pd.Series):
-        if np.issubdtype(src.dtype, np.datetime64):
+        if interp:
+            return np.full(n, np.nan, dtype=np.float64)
+        if pd.api.types.is_datetime64_any_dtype(src.dtype):
             return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
         if np.issubdtype(src.dtype, np.floating):
             return np.full(n, np.nan, dtype=np.float64)
@@ -414,7 +527,8 @@ def asof_join_broadcast(
     from pyspark.sql.pandas.types import to_arrow_type
 
     out_pa_types = {
-        oc: to_arrow_type(rschema[c].dataType) for c, oc in gather_cols
+        oc: to_arrow_type(DoubleType() if interp else rschema[c].dataType)
+        for c, oc in gather_cols
     }
 
     def fn(batches):
@@ -427,7 +541,7 @@ def asof_join_broadcast(
                 [rb.column(lcols.index(c)) for c in [*by_l, on]],
                 names=[*by_l, on],
             ).to_pandas()
-            lts = _ts_np(keydf[on])
+            lts = _ts_np_series(keydf[on])
             grp_of = keydf.groupby(by_l, sort=False).indices
             targets = (
                 {oc: _alloc(n, rp[c]) for c, oc in gather_cols} if len(rp) else {}
@@ -439,28 +553,20 @@ def asof_join_broadcast(
                     continue
                 rts, payload = ent
                 t = lts[rows]
-                back = np.searchsorted(rts, t, side="right") - 1
-                if direction == "backward":
-                    sel = back
-                else:
-                    fwd = np.searchsorted(rts, t, side="left")
-                    fwd = np.where(fwd < len(rts), fwd, -1)
-                    if direction == "forward":
-                        sel = fwd
-                    else:  # nearest, backward wins ties
-                        bd = np.where(back >= 0, t - rts[np.clip(back, 0, None)], np.inf)
-                        fd = np.where(fwd >= 0, rts[np.clip(fwd, 0, None)] - t, np.inf)
-                        sel = np.where(bd <= fd, back, fwd)
-                if tolerance is not None:
-                    dist = np.where(sel >= 0, np.abs(t - rts[np.clip(sel, 0, None)]), np.inf)
-                    sel = np.where(dist <= tolerance, sel, -1)
-                ok = sel >= 0
+                ok, m = _np_asof_match(rts, t, direction, tolerance)
                 if not ok.any():
                     continue
                 hit_rows = rows[ok]
-                hit_sel = sel[ok]
-                for c, oc in gather_cols:
-                    targets[oc][hit_rows] = payload[c][hit_sel]
+                if interp:
+                    bi, fi, frac = m
+                    for c, oc in gather_cols:
+                        vb = payload[c][bi].astype(np.float64)
+                        vf = payload[c][fi].astype(np.float64)
+                        targets[oc][hit_rows] = (vb + (vf - vb) * frac)[ok]
+                else:
+                    hit_sel = m[ok]
+                    for c, oc in gather_cols:
+                        targets[oc][hit_rows] = payload[c][hit_sel]
             new_cols = []
             for _c, oc in gather_cols:
                 t = targets.get(oc)
@@ -476,3 +582,188 @@ def asof_join_broadcast(
             )
 
     return left.mapInArrow(fn, out_schema)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by="entity_id",
+    right_cols=None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    include_right_on: bool = False,
+) -> DataFrame:
+    """Partitioned-index as-of join: the "per-partition index slice" tier.
+
+    Both sides are hash-shuffled on the entity key (one exchange each) and
+    merged per entity with one vectorized searchsorted — each task holds
+    only ITS entities' slice of the right-side index, so a right side far
+    above broadcast size (the ~3 GB production stats table, SCALE.md) never
+    concentrates on the driver or in every executor. Matching semantics are
+    shared with asof_join_broadcast via _np_asof_match, including the
+    duplicate-timestamp contract (backward = greatest payload, forward =
+    least) and direction="interpolate".
+
+    Skew note: a single entity's whole left+right history lands in one
+    cogroup, so this is the mid-tier for many-entity, non-pathological
+    distributions; a hot-entity workload should use asof_join (bucketed),
+    which additionally splits entities across time buckets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    assert direction in ("backward", "forward", "nearest", "interpolate")
+    by_l = _as_list(by)
+    rcols = _as_list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in set(by_l) | {on}
+    ]
+    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
+    if direction == "interpolate" and include_right_on:
+        raise ValueError(
+            "interpolate blends two right rows; there is no single matched "
+            "right timestamp to include"
+        )
+    right_on_out = f"{on}{suffix}" if include_right_on else None
+    interp = direction == "interpolate"
+
+    rschema = {f.name: f for f in right.schema.fields}
+    out_fields = list(left.schema.fields) + [
+        StructField(oc, DoubleType() if interp else rschema[c].dataType, True)
+        for c, oc in zip(rcols, out_rnames)
+    ]
+    if right_on_out:
+        out_fields.append(StructField(right_on_out, rschema[on].dataType, True))
+    out_schema = StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+    gather_cols = list(zip(rcols, out_rnames))
+    if right_on_out:
+        gather_cols.append((on, right_on_out))
+
+    def _missing_col(n: int, src: pd.Series):
+        if interp:
+            return np.full(n, np.nan, dtype=np.float64)
+        if pd.api.types.is_datetime64_any_dtype(src.dtype):
+            return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+        if src.dtype.kind == "f":
+            return np.full(n, np.nan, dtype=np.float64)
+        return np.full(n, None, dtype=object)
+
+    # Rename the right side up front: cogroup's Arrow transfer silently
+    # drops right-side columns whose names collide with left-side non-key
+    # columns (observed on the shared `on` column under self-lineage).
+    RP = "_r_"
+
+    def merge(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        out = lp.copy()
+        n = len(lp)
+        if n == 0:
+            return pd.DataFrame(columns=out_names)
+        if len(rp) == 0:
+            for c, oc in gather_cols:
+                out[oc] = _missing_col(n, pd.Series(dtype=object))
+            return out[out_names]
+        # same duplicate-ts contract as the broadcast index build
+        rp = rp.sort_values([RP + on, *[RP + c for c in rcols]], kind="stable")
+        rts = _ts_np_series(rp[RP + on])
+        t = _ts_np_series(lp[on])
+        ok, m = _np_asof_match(rts, t, direction, tolerance)
+        for c, oc in gather_cols:
+            src = _dt_naive(rp[RP + c])
+            arr = (
+                src.to_numpy().astype("datetime64[us]")
+                if pd.api.types.is_datetime64_any_dtype(src.dtype)
+                else src.to_numpy()
+            )
+            col = _missing_col(n, src)
+            if ok.any():
+                if interp:
+                    bi, fi, frac = m
+                    vb = arr[bi].astype(np.float64)
+                    vf = arr[fi].astype(np.float64)
+                    col[ok] = (vb + (vf - vb) * frac)[ok]
+                else:
+                    col[ok] = arr[m[ok]]
+            out[oc] = col
+        return out[out_names]
+
+    rsel = right.select(
+        *[F.col(c).alias(RP + c) for c in by_l],
+        F.col(on).alias(RP + on),
+        *[F.col(c).alias(RP + c) for c in rcols],
+    )
+    return (
+        left.groupBy(*by_l)
+        .cogroup(rsel.groupBy(*[RP + c for c in by_l]))
+        .applyInPandas(merge, out_schema)
+    )
+
+
+def choose_asof_strategy(right: DataFrame, broadcast_max_rows: int = 2_000_000) -> str:
+    """Right-side size probe for asof_join_auto: one bounded count
+    (limit(cap+1).count(), so a huge right side never runs a full count).
+    Small -> 'broadcast'; otherwise 'bucketed' — the skew-safe default at
+    scale. 'cogroup' and 'window' are opt-in (see asof_join_auto) because
+    choosing them safely needs per-entity skew knowledge a cheap probe
+    can't give."""
+    n = right.limit(broadcast_max_rows + 1).count()
+    return "broadcast" if n <= broadcast_max_rows else "bucketed"
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by="entity_id",
+    right_cols=None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    include_right_on: bool = False,
+    broadcast_max_rows: int = 2_000_000,
+    bucket_width: float = 86400.0,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Physical-strategy selector for the as-of join.
+
+    Auto mode probes the right side once (bounded count) and picks:
+
+    - 'broadcast' (<= broadcast_max_rows): zero shuffle of the left side,
+      map-side searchsorted against a driver-built index;
+    - 'bucketed' (otherwise): the (entity, time-bucket) merge — big right
+      sides never cross the driver, and hot entities split across buckets.
+
+    Pass ``strategy`` to force 'broadcast' | 'bucketed' | 'cogroup' |
+    'window' ('cogroup' = per-partition index slices, right for a large
+    stats table with benign entity skew; 'window' = single entity-
+    partitioned window, backward-only, right when entities are small).
+    The choice is recorded on the result as ``df._asof_strategy``.
+    """
+    if strategy is None:
+        strategy = choose_asof_strategy(right, broadcast_max_rows)
+    kw = dict(
+        on=on, by=by, right_cols=right_cols, direction=direction,
+        tolerance=tolerance, suffix=suffix, include_right_on=include_right_on,
+    )
+    if strategy == "broadcast":
+        out = asof_join_broadcast(
+            left, right, max_right_rows=broadcast_max_rows, **kw
+        )
+    elif strategy == "bucketed":
+        out = asof_join(left, right, bucket_width=bucket_width, **kw)
+    elif strategy == "cogroup":
+        out = asof_join_cogroup(left, right, **kw)
+    elif strategy == "window":
+        if direction != "backward":
+            raise ValueError("window strategy implements backward only")
+        out = asof_join_window(
+            left, right, on=on, by=by, right_cols=right_cols,
+            tolerance=tolerance, suffix=suffix,
+            include_right_on=include_right_on,
+        )
+    else:
+        raise ValueError(f"unknown asof strategy {strategy!r}")
+    out._asof_strategy = strategy
+    return out

@@ -705,6 +705,128 @@ _register(
 )
 
 
+def _clicks_purchases(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return clicks, purchases
+
+
+_SQL_CLICKS_PURCHASES = """
+    clicks AS (
+      SELECT user_id, ts, event_id, value AS click_value
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )"""
+
+
+def q_asof_interpolate(spark, sf_dir):
+    """N8 linear-interpolation as-of (reference Resample.cxx:83-99 linear
+    mode): for each click, purchase value lerped between the bracketing
+    purchases; null outside the hull. Oracle = two DuckDB ASOF joins
+    (backward + forward) + the same IEEE expression tree."""
+    from ..operators.asof import asof_join
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        direction="interpolate", bucket_width=86400.0,
+    )
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value",
+        F.col("purchase_value").alias("purchase_interp"),
+    ).orderBy("event_id")
+
+
+_register(
+    "q_asof_interpolate",
+    q_asof_interpolate,
+    f"""
+    WITH {_SQL_CLICKS_PURCHASES}
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS ts_s,
+           c.click_value,
+           CASE WHEN b.ts IS NOT NULL AND f.ts IS NOT NULL THEN
+             b.purchase_value + (f.purchase_value - b.purchase_value) *
+               (CASE WHEN epoch(f.ts) > epoch(b.ts)
+                     THEN (epoch(c.ts) - epoch(b.ts)) / (epoch(f.ts) - epoch(b.ts))
+                     ELSE 0.0 END)
+           END AS purchase_interp
+    FROM clicks c
+    ASOF LEFT JOIN purchases b ON c.user_id = b.user_id AND c.ts >= b.ts
+    ASOF LEFT JOIN purchases f ON c.user_id = f.user_id AND c.ts <= f.ts
+    ORDER BY c.event_id
+    """,
+)
+
+
+_ASOF_BACKWARD_SQL = f"""
+    WITH {_SQL_CLICKS_PURCHASES}
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS ts_s,
+           c.click_value, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """
+
+
+def q_asof_auto_bucketed(spark, sf_dir):
+    """asof_join_auto with the broadcast cap forced BELOW the right-side
+    size: the probe must route to the bucketed strategy (the production
+    fallback when the stats table outgrows broadcast). Same oracle as
+    q_asof_join."""
+    from ..operators.asof import asof_join_auto
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join_auto(
+        clicks, purchases, on="ts", by="user_id", broadcast_max_rows=100,
+    )
+    assert out._asof_strategy == "bucketed", out._asof_strategy
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+_register("q_asof_auto_bucketed", q_asof_auto_bucketed, _ASOF_BACKWARD_SQL)
+
+
+def q_asof_cogroup(spark, sf_dir):
+    """Per-partition-index as-of strategy (cogroup): each task sees only
+    its entities' right-side slice. Same oracle as q_asof_join."""
+    from ..operators.asof import asof_join_cogroup
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join_cogroup(clicks, purchases, on="ts", by="user_id")
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+_register("q_asof_cogroup", q_asof_cogroup, _ASOF_BACKWARD_SQL)
+
+
 def q_checkpoint_ledger(spark, sf_dir):
     """North-rule lineage surface: run a small checkpointed feature job
     (2 source units) into a temp dir, then RESUME it (everything skipped),

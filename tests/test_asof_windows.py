@@ -556,3 +556,248 @@ def test_asof_randomized_property(spark, seed):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: duplicate-right-ts tie-break, interpolate, strategy selector,
+# cogroup parity, tz-aware broadcast
+# ---------------------------------------------------------------------------
+
+def _dup_ts_frames():
+    """Right side with DUPLICATE (entity, ts) rows: the tie-break contract
+    is backward -> greatest payload, forward -> least payload, identical
+    across strategies and bucket widths."""
+    left = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 1, 2],
+            "ts": [500, 1500, 2500, 900],
+            "lval": [0.0, 1.0, 2.0, 3.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 1, 1, 2, 2],
+            "ts": [1000, 1000, 2000, 2000, 800, 800],
+            "rval": [5.0, 9.0, -3.0, 4.0, 1.0, 2.0],
+        }
+    )
+    return left, right
+
+
+def test_asof_duplicate_right_ts_tie_break(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    left, right = _dup_ts_frames()
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    # forward: least payload among equal ts; backward: greatest
+    want_fwd = {(1, 500): 5.0, (1, 1500): -3.0, (1, 2500): None, (2, 900): None}
+    want_bwd = {(1, 500): None, (1, 1500): 9.0, (1, 2500): 4.0, (2, 900): 2.0}
+
+    def check(df, want):
+        got = {
+            (r.entity_id, r.ts): r.rval
+            for r in df.select("entity_id", "ts", "rval").collect()
+        }
+        for k, v in want.items():
+            if v is None:
+                assert got[k] is None or pd.isna(got[k]), (k, got[k])
+            else:
+                assert got[k] == v, (k, got[k], v)
+
+    # bucketed at several widths: ts=1000/2000 sit ON bucket boundaries for
+    # width=1000, exercising the carry-vs-in-bucket agreement the tie-break
+    # fix guarantees
+    for width in (300.0, 1000.0, 1_000_000.0):
+        check(
+            asof_join(ldf, rdf, on="ts", by="entity_id",
+                      direction="forward", bucket_width=width),
+            want_fwd,
+        )
+        check(
+            asof_join(ldf, rdf, on="ts", by="entity_id",
+                      direction="backward", bucket_width=width),
+            want_bwd,
+        )
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        check(fn(ldf, rdf, on="ts", by="entity_id", direction="forward"), want_fwd)
+        check(fn(ldf, rdf, on="ts", by="entity_id", direction="backward"), want_bwd)
+
+
+def test_asof_interpolate_manual_and_parity(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    left = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 1, 1, 1, 2],
+            # 1000 exact hit; 1250 mid; 1999/2001 bucket-boundary straddle
+            # at width=1000; 500 outside hull (before first right row)
+            "ts": [1000, 1250, 1999, 2001, 500, 777],
+            "lval": [0.0] * 6,
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 1],
+            "ts": [1000, 2000, 3000],
+            "rval": [10.0, 20.0, 40.0],
+        }
+    )
+    want = {
+        (1, 1000): 10.0,                              # exact hit -> sample
+        (1, 1250): 10.0 + 10.0 * 0.25,                # plain lerp
+        (1, 1999): 10.0 + 10.0 * 0.999,               # just below boundary
+        (1, 2001): 20.0 + 20.0 * (1.0 / 1000.0),      # just above boundary
+        (1, 500): None,                               # outside hull
+        (2, 777): None,                               # entity absent on right
+    }
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    def got_of(df):
+        return {
+            (r.entity_id, r.ts): r.rval
+            for r in df.select("entity_id", "ts", "rval").collect()
+        }
+
+    results = []
+    for width in (1000.0, 333.0, 1_000_000.0):
+        results.append(
+            got_of(asof_join(ldf, rdf, on="ts", by="entity_id",
+                             direction="interpolate", bucket_width=width))
+        )
+    results.append(
+        got_of(asof_join_broadcast(ldf, rdf, on="ts", by="entity_id",
+                                   direction="interpolate"))
+    )
+    results.append(
+        got_of(asof_join_cogroup(ldf, rdf, on="ts", by="entity_id",
+                                 direction="interpolate"))
+    )
+    for got in results:
+        for k, v in want.items():
+            if v is None:
+                assert got[k] is None or pd.isna(got[k]), (k, got[k])
+            else:
+                assert got[k] == pytest.approx(v, abs=1e-12), (k, got[k], v)
+    # strategies agree bit-for-bit
+    for got in results[1:]:
+        assert got == results[0] or all(
+            (pd.isna(got[k]) and pd.isna(results[0][k])) or got[k] == results[0][k]
+            for k in want
+        )
+
+
+def test_asof_interpolate_tolerance(spark):
+    left = pd.DataFrame({"entity_id": [1, 1], "ts": [1500, 2990], "lval": [0.0, 0.0]})
+    right = pd.DataFrame(
+        {"entity_id": [1, 1], "ts": [1000, 3000], "rval": [10.0, 30.0]}
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    out = asof_join(
+        ldf, rdf, on="ts", by="entity_id", direction="interpolate",
+        tolerance=600.0, bucket_width=1000.0,
+    )
+    got = {(r.entity_id, r.ts): r.rval for r in out.collect()}
+    # ts=1500: bracket gap sides 500/1500 -> far side exceeds tolerance -> null
+    assert got[(1, 1500)] is None or pd.isna(got[(1, 1500)])
+    # ts=2990: sides 1990/10 -> far side exceeds tolerance -> null
+    assert got[(1, 2990)] is None or pd.isna(got[(1, 2990)])
+    out2 = asof_join(
+        ldf, rdf, on="ts", by="entity_id", direction="interpolate",
+        tolerance=2000.0, bucket_width=1000.0,
+    )
+    got2 = {(r.entity_id, r.ts): r.rval for r in out2.collect()}
+    assert got2[(1, 1500)] == pytest.approx(10.0 + 20.0 * 0.25)
+    assert got2[(1, 2990)] == pytest.approx(10.0 + 20.0 * 0.995)
+
+
+def test_asof_strategy_selector(spark, frames):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_auto,
+        choose_asof_strategy,
+    )
+
+    left, right, ldf, rdf = frames
+    assert choose_asof_strategy(rdf, broadcast_max_rows=10_000) == "broadcast"
+    assert choose_asof_strategy(rdf, broadcast_max_rows=10) == "bucketed"
+
+    want = _key(_duck_asof(left, right))
+    for kw in (
+        dict(broadcast_max_rows=10_000),          # routes to broadcast
+        dict(broadcast_max_rows=10),              # routes to bucketed
+        dict(strategy="cogroup"),
+        dict(strategy="window"),
+    ):
+        out = asof_join_auto(ldf, rdf, on="ts", by="entity_id", **kw)
+        got = _key(out.toPandas()[["entity_id", "ts", "lval", "rval"]])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+    assert asof_join_auto(
+        ldf, rdf, on="ts", by="entity_id", broadcast_max_rows=10_000
+    )._asof_strategy == "broadcast"
+    assert asof_join_auto(
+        ldf, rdf, on="ts", by="entity_id", broadcast_max_rows=10
+    )._asof_strategy == "bucketed"
+
+
+def test_asof_cogroup_matches_duckdb(spark, frames):
+    from image_feature_extraction_spark.operators.asof import asof_join_cogroup
+
+    left, right, ldf, rdf = frames
+    want = _key(_duck_asof(left, right))
+    got = _key(
+        asof_join_cogroup(ldf, rdf, on="ts", by="entity_id")
+        .toPandas()[["entity_id", "ts", "lval", "rval"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+
+
+def test_asof_broadcast_and_cogroup_timestamp_ltz(spark):
+    """TIMESTAMP (with local tz) time column: regression for the
+    DatetimeTZDtype crash in the broadcast index build."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    lp = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:10", "2024-01-01 00:01:00", "2024-01-01 00:00:30"]
+            ).tz_localize("UTC"),
+            "lval": [1.0, 2.0, 3.0],
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "entity_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:00:50", "2024-01-01 00:00:40"]
+            ).tz_localize("UTC"),
+            "rval": [100.0, 200.0, 300.0],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    assert dict(ldf.dtypes)["ts"] == "timestamp"  # ltz, not ntz
+    want = {(1, 10): 100.0, (1, 60): 200.0, (2, 30): None}
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        out = fn(ldf, rdf, on="ts", by="entity_id", include_right_on=True)
+        rows = out.select(
+            "entity_id", F.col("ts").cast("long").alias("sec"), "rval", "ts_right"
+        ).collect()
+        got = {(r.entity_id, r.sec % 3600): r.rval for r in rows}
+        assert got == want or all(
+            (want[k] is None and (got[k] is None or pd.isna(got[k])))
+            or got[k] == want[k]
+            for k in want
+        )
+        # matched right timestamps keep timestamp type and never exceed left ts
+        for r in rows:
+            if r.ts_right is not None:
+                assert r.ts_right.timestamp() <= r.sec

@@ -79,17 +79,41 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     return df.select("doc_id", F.explode(F.array_distinct(gram)).alias(out_col))
 
 
+def hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Shingles appearing in more than max_doc_freq documents. At web
+    scale this set is SMALL (stopword-ish shingles) while its complement
+    is nearly the whole vocabulary — so skew control is a broadcast
+    LEFT ANTI join against the hot set, never a join against the rare
+    set."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
-                       num_hashes: int = 8) -> DataFrame:
+                       num_hashes: int = 8,
+                       max_doc_freq: int | None = None) -> DataFrame:
     """Per-doc MinHash signature: h_j = min over shingles of
     (a_j * (H(shingle) mod p) + b_j) mod p. Docs with fewer than one
     shingle are dropped (no signature). Output: doc_id, h0..h{k-1}.
 
     One narrow explode + one groupBy(doc_id) shuffle; the signature is 8
     longs per doc regardless of doc length.
+
+    max_doc_freq drops ubiquitous shingles (document frequency > cap)
+    BEFORE hashing — boilerplate shared by everything stops dominating
+    the signature, and the md5 work shrinks with it. Docs whose every
+    shingle is hot lose their signature (dropped, like shingle-less docs).
     """
     assert num_hashes <= len(MINHASH_COEFFS)
     sh = shingles(df, text_col, n)
+    if max_doc_freq is not None:
+        sh = sh.join(
+            F.broadcast(hot_shingles(sh, max_doc_freq)), "shingle", "left_anti"
+        )
     hmod = (md5_long(F.col("shingle")) % MINHASH_PRIME).alias("hm")
     sh = sh.select("doc_id", hmod)
     aggs = [
@@ -100,7 +124,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                      num_hashes: int = 8, band_rows: int = 1) -> DataFrame:
+                      num_hashes: int = 8, band_rows: int = 1,
+                      max_doc_freq: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs agreeing on ALL
     rows of at least one band become a candidate pair. Output:
     (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -108,7 +133,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     The join key is (band_idx, band hash values) — an equi join, so the
     shuffle is keyed and bucket-bounded; no cross join ever happens.
     """
-    sig = minhash_signatures(df, text_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, n, num_hashes, max_doc_freq)
     n_bands = num_hashes // band_rows
     bands = sig.select(
         "doc_id",
@@ -269,18 +294,21 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     Cosine rounded to 6 decimals; numpy's blocked float64 sums agree with
     the DuckDB oracle's sequential sums to ~1 ulp, far inside the rounding
     quantum.
+
+    Past max_broadcast_rows the operator automatically switches to
+    ``embedding_neardup_pairs_bucketed`` (LSH-bucketed, no driver collect,
+    approximate: misses only pairs no hash table co-buckets).
     """
     import numpy as np
     import pandas as pd
 
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).limit(
-        max_broadcast_rows + 1
-    ).toPandas()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            "embedding_neardup_pairs: corpus too large to broadcast; "
-            "bucket with hyperplane_buckets first"
+    # bounded row-count probe BEFORE any driver collect
+    n_probe = df.limit(max_broadcast_rows + 1).count()
+    if n_probe > max_broadcast_rows:
+        return embedding_neardup_pairs_bucketed(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold
         )
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     rows = rows.sort_values("id", kind="stable").reset_index(drop=True)
     ids = rows["id"].to_numpy()
     M = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
@@ -319,3 +347,81 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                 yield pd.concat(out, ignore_index=True)
 
     return chunks.mapInPandas(fn, "id_a long, id_b long, cosine double")
+
+
+def embedding_neardup_pairs_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.48,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    dim: int = 64,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Embedding near-dup at corpus sizes above broadcast: multi-table
+    hyperplane LSH bucketing (similarity.hyperplane_buckets) -> per-
+    (table, bucket) blocked float64 matmul -> distinct pairs.
+
+    Nothing ever concentrates on the driver: the only shuffles are the
+    (table, bucket) hash partition and the final pair distinct. All-pairs
+    work happens strictly WITHIN a bucket (expected size corpus / 2^planes
+    per table) and the matmul is row-blocked so task memory stays bounded.
+
+    Approximate by design: a pair is missed only if NO table co-buckets
+    it; for cosine >= t the per-table collision probability is
+    p = (1 - acos(t)/pi)^planes, so recall = 1 - (1 - p)^tables — e.g.
+    ~0.93 for t=0.48 with 3 planes x 8 tables, ~0.86 for t=0.9 with
+    6 planes x 4 tables. Tune planes to the threshold (higher threshold
+    -> more planes affordable -> smaller buckets). The exact broadcast
+    variant remains the verification path at small scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _table_buckets
+
+    b = _table_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        n_tables, n_planes, dim, "_v",
+    )
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]]
+        )
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out = []
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            S_blk = M[s:e] @ M.T  # (block, n)
+            for loc in range(e - s):
+                i = s + loc
+                sims = S_blk[loc, i + 1:]
+                hit = np.flatnonzero(sims >= thr)
+                if len(hit):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[i],
+                                "id_b": ids[i + 1 + hit],
+                                "cosine": np.round(sims[hit], 6),
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = b.groupBy("tbl", "bkt").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
+    )
+    # a pair found in several tables carries the identical rounded cosine
+    return pairs.distinct()

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under future-annotations)
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,28 @@ def _cosine(va, vb):
         )
     )
     return dot / (n(va) * n(vb))
+
+
+def _cosine_blas_udf():
+    """Arrow-vectorized (pandas_udf) exact cosine: one numpy einsum per
+    batch instead of one interpreted Catalyst lambda per array element —
+    ~an order of magnitude faster on the candidate-rescore hot path. Same
+    float64 math as _cosine up to summation order (values agree to ~1 ulp;
+    both variants round to 6 decimals downstream)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qa: pd.Series, cb: pd.Series) -> pd.Series:
+        if not len(qa):
+            return pd.Series(dtype="float64")
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qa])
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in cb])
+        dot = np.einsum("ij,ij->i", Q, C)
+        nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        nc = np.sqrt(np.einsum("ij,ij->i", C, C))
+        return pd.Series(dot / (nq * nc))
+
+    return cos
 
 
 def cosine_topk(
@@ -113,8 +137,19 @@ def hyperplane_buckets(
     return df.withColumn(out_col, bucket.cast("long"))
 
 
-def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col):
-    """(table_idx, bucket) exploded rows — one row per (input row, table)."""
+def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col,
+                   method: str = "sql"):
+    """(table_idx, bucket) exploded rows — one row per (input row, table).
+
+    method="sql": Catalyst higher-order-function dots — sequential sums,
+    bitwise-identical to the DuckDB oracle's list_dot_product.
+    method="blas": one numpy matmul per Arrow batch against the (dim x
+    tables*planes) coefficient matrix — the production hot path. Same
+    sign decisions except a dot within ~1 ulp of exactly 0 (probability
+    ~1e-13 per dot for random embeddings).
+    """
+    if method == "blas":
+        return _table_buckets_blas(df, n_tables, n_planes, dim, vec_col)
     out = df
     for t in range(n_tables):
         out = hyperplane_buckets(out, n_planes, dim, vec_col, table=t, out_col=f"_b{t}")
@@ -134,6 +169,37 @@ def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col):
     )
 
 
+def _table_buckets_blas(df: DataFrame, n_tables, n_planes, dim, vec_col):
+    from pyspark.sql.functions import pandas_udf
+
+    W = (
+        np.array(
+            [hyperplane_coeffs(n_planes, dim, t) for t in range(n_tables)],
+            dtype=np.float64,
+        )
+        .reshape(n_tables * n_planes, dim)
+        .T
+    )  # (dim, tables*planes), ~25 KB — ships in the task closure
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series(dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (M @ W > 0).reshape(len(M), n_tables, n_planes)
+        bkt = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(bkt))
+
+    return (
+        df.withColumn("_bkts", buckets(F.col(vec_col)))
+        .select(
+            *[c for c in df.columns],
+            F.posexplode("_bkts").alias("tbl", "bkt"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,6 +210,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    rescore: str = "sql",
 ) -> DataFrame:
     """Approximate top-k with MULTI-TABLE hyperplane LSH: candidates are
     the union over `n_tables` independent tables of same-bucket matches
@@ -153,11 +220,18 @@ def lsh_topk(
     to collide. Cost per query is the union of its bucket sizes, never the
     corpus.
 
+    rescore="sql" (default) scores candidates with the Catalyst
+    higher-order-function cosine — sequential sums, bitwise-identical to
+    the DuckDB oracle. rescore="blas" scores with an Arrow-vectorized
+    numpy einsum (pandas_udf) — same math up to summation order, the
+    production hot path (measured speedup in BENCH).
+
     Output: (query_id, rank, neighbor_id, cosine)."""
+    assert rescore in ("sql", "blas")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    cb = _table_buckets(c, n_tables, n_planes, dim, "_cv")
-    qb = _table_buckets(q, n_tables, n_planes, dim, "_qv")
+    cb = _table_buckets(c, n_tables, n_planes, dim, "_cv", method=rescore)
+    qb = _table_buckets(q, n_tables, n_planes, dim, "_qv", method=rescore)
     # Dedup on IDS ONLY — running distinct over rows that carry the
     # vectors would shuffle every embedding n_tables times; the vectors
     # are joined back once per unique candidate pair instead.
@@ -169,7 +243,11 @@ def lsh_topk(
         .distinct()
     )
     cand = cand_ids.join(q, query_id_col).join(c, "neighbor_id")
-    scored = cand.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+    if rescore == "blas":
+        cos = _cosine_blas_udf()
+        scored = cand.withColumn("cosine", cos(F.col("_qv"), F.col("_cv")))
+    else:
+        scored = cand.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

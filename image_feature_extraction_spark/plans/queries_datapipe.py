@@ -163,6 +163,8 @@ _register(
 )
 
 
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -207,6 +209,18 @@ _LSH_PLANES = 6
 _LSH_TABLES = 8
 
 
+def _bucket_expr_sql(table: int, n_planes: int = _LSH_PLANES, dim: int = 64) -> str:
+    """DuckDB expression for one hyperplane-LSH bucket id, generated from
+    the SAME coefficients the Spark operator uses."""
+    coeffs = S.hyperplane_coeffs(n_planes, dim, table)
+    return " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{c:.1f}" for c in row)
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs)
+    )
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate top-5 via multi-table hyperplane LSH (8 tables x 6
     planes), exact cosine rescoring of the candidate union."""
@@ -218,17 +232,8 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def _lsh_sql() -> str:
-    def bucket_expr(table: int) -> str:
-        coeffs = S.hyperplane_coeffs(_LSH_PLANES, 64, table)
-        return " + ".join(
-            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-            + ", ".join(f"{c:.1f}" for c in row)
-            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
-            for p, row in enumerate(coeffs)
-        )
-
     cb = " UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS tbl, ({bucket_expr(t)})::BIGINT AS bkt "
+        f"SELECT vec_id, embedding, {t} AS tbl, ({_bucket_expr_sql(t)})::BIGINT AS bkt "
         "FROM embeddings"
         for t in range(_LSH_TABLES)
     )
@@ -258,6 +263,66 @@ def _lsh_sql() -> str:
 
 
 _register("q_knn_lsh", q_knn_lsh, _lsh_sql())
+
+
+def q_knn_lsh_blas(spark, sf_dir):
+    """Same LSH search with the Arrow-vectorized (numpy einsum) candidate
+    rescore — the production hot path. Candidate generation is identical
+    to q_knn_lsh (Catalyst bucketing), so the same SQL oracle applies;
+    rescored cosines agree with the sequential-sum oracle after rounding."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        e, _query_vectors(spark, sf_dir), k=5,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=64, rescore="blas",
+    ).orderBy("query_id", "rank")
+
+
+_register("q_knn_lsh_blas", q_knn_lsh_blas, _lsh_sql())
+
+
+def q_dedup_embedding_bucketed(spark, sf_dir):
+    """Embedding near-dup via the SCALE path: LSH-bucketed per-bucket
+    blocked matmul (no driver collect, no broadcast of the corpus). The
+    oracle reproduces the exact bucketing (same hyperplane constants) in
+    SQL, so the approximate result is still hash-exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    # 3 planes x 8 tables: ~0.93 recall at cosine 0.48 (finds all 3 true
+    # pairs at sf0.01); raise n_planes for tighter thresholds at scale
+    return D.embedding_neardup_pairs_bucketed(
+        e, threshold=0.48, n_planes=3, n_tables=8
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_bucketed_sql(n_planes: int = 3, n_tables: int = 8) -> str:
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"({_bucket_expr_sql(t, n_planes=n_planes)})::BIGINT AS bkt "
+        "FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH cb AS ({cb}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT id_a, id_b,
+             list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.id_a
+      JOIN embeddings eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
+    WHERE c >= 0.48 ORDER BY id_a, id_b
+    """
+
+
+_register(
+    "q_dedup_embedding_bucketed",
+    q_dedup_embedding_bucketed,
+    _embedding_bucketed_sql(),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -894,17 +959,14 @@ def q_dedup_jaccard_capped(spark, sf_dir):
     by k docs creates k^2 join rows, so ubiquitous shingles are excluded
     from the metric itself (consistently from numerator AND denominator).
     Exact SQL mirror; word unigrams are usable again under the cap."""
-    from ..operators.dedup import shingles as mk_shingles
+    from ..operators.dedup import hot_shingles, shingles as mk_shingles
 
     d = _t(spark, sf_dir, "documents")
     sh = mk_shingles(d, n=1)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= 50)
-        .select("shingle")
-    )
-    sh = sh.join(F.broadcast(rare), "shingle")
+    # anti-join against the SMALL hot set (df > 50), never a join against
+    # the huge rare set — at web scale "rare" is nearly the whole
+    # vocabulary while "hot" is a handful of stopword-ish shingles
+    sh = sh.join(F.broadcast(hot_shingles(sh, 50)), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -952,5 +1014,80 @@ _register(
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE common::DOUBLE / (sa.n_sh + sb.n_sh - common)::DOUBLE >= 0.5
     ORDER BY doc_a, doc_b
+    """,
+)
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash signatures with the document-frequency cap (df <= 5)
+    applied BEFORE hashing: ubiquitous shingles can't dominate signatures
+    and the md5 work shrinks. Implemented as a broadcast anti-join
+    against the small hot-shingle set."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, num_hashes=8, max_doc_freq=5).orderBy("doc_id")
+
+
+def _minhash_capped_sql(cap: int = 5) -> str:
+    mins = ", ".join(
+        f"MIN(({a}*hm + {b}) % {D.MINHASH_PRIME}) AS h{j}"
+        for j, (a, b) in enumerate(D.MINHASH_COEFFS[:8])
+    )
+    return f"""
+    WITH words AS ({SQL_WORDS}),
+    grams AS ({SQL_GRAMS3}),
+    hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > {cap}),
+    kept AS (SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+    h AS (SELECT doc_id, {MD5L.format(x='g')} % {D.MINHASH_PRIME} AS hm FROM kept)
+    SELECT doc_id, {mins} FROM h GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_register("q_dedup_minhash_capped", q_dedup_minhash_capped, _minhash_capped_sql())
+
+
+def q_mode_label_options(spark, sf_dir):
+    """A5 with the reference's full option set (ExtractLabels.cxx:190-198):
+    'error' rows are ignored entirely; 'purchase' overrides the majority
+    when it reaches a 20% share of the non-ignored rows."""
+    from ..operators.labels import mode_label
+
+    ev = _t(spark, sf_dir, "events")
+    out = mode_label(
+        ev, by="user_id", label_col="event_type",
+        ignore=("error",), dominant="purchase", dominant_share=0.2,
+    )
+    return out.select(
+        "user_id",
+        F.col("mode_label").alias("mode_event"),
+        "mode_count",
+        "n_considered",
+    ).orderBy("user_id")
+
+
+_register(
+    "q_mode_label_options",
+    q_mode_label_options,
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events WHERE event_type <> 'error'
+      GROUP BY user_id, event_type
+    ), ext AS (
+      SELECT user_id, event_type, cnt,
+             SUM(cnt) OVER (PARTITION BY user_id) AS total,
+             SUM(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END)
+               OVER (PARTITION BY user_id) AS dom_cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM counts
+    )
+    SELECT user_id,
+           CASE WHEN dom_cnt::DOUBLE / total::DOUBLE >= 0.2
+                THEN 'purchase' ELSE event_type END AS mode_event,
+           CAST(CASE WHEN dom_cnt::DOUBLE / total::DOUBLE >= 0.2
+                     THEN dom_cnt ELSE cnt END AS BIGINT) AS mode_count,
+           CAST(total AS BIGINT) AS n_considered
+    FROM ext WHERE rn = 1
+    ORDER BY user_id
     """,
 )

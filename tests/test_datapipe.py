@@ -207,3 +207,95 @@ def test_lsh_recall_vs_bruteforce_on_driver_embeddings(spark):
     hits = len(m)
     total = len(exact)
     assert hits / total > 0.1, f"recall {hits}/{total}"
+
+
+# ---------------------------------------------------------------------------
+# Round 2: bucketed embedding near-dup, BLAS LSH, capped minhash, mode_label
+# ---------------------------------------------------------------------------
+
+def test_embedding_neardup_bucketed_subset_and_autofallback(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = D.embedding_neardup_pairs(e, threshold=0.48).toPandas()
+    bucketed = D.embedding_neardup_pairs_bucketed(
+        e, threshold=0.48, n_planes=3, n_tables=8
+    ).toPandas()
+    key = lambda df: set(zip(df["id_a"], df["id_b"]))  # noqa: E731
+    # bucketed is a subset of exact (it can only miss, never invent)...
+    assert key(bucketed) <= key(exact)
+    # ...and at these parameters it finds everything at this scale
+    assert key(bucketed) == key(exact)
+    m = exact.merge(bucketed, on=["id_a", "id_b"], suffixes=("_e", "_b"))
+    assert (m["cosine_e"] == m["cosine_b"]).all()
+    # the broadcast entry point auto-falls-back instead of raising
+    auto = D.embedding_neardup_pairs(e, threshold=0.48, max_broadcast_rows=10)
+    assert key(auto.toPandas()) == key(bucketed)
+
+
+def test_lsh_topk_blas_matches_sql_rescore(spark):
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = S.lsh_topk(e, q, k=5, n_planes=6, n_tables=4, dim=64).toPandas()
+    b = S.lsh_topk(e, q, k=5, n_planes=6, n_tables=4, dim=64, rescore="blas").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_minhash_capped_drops_hot_shingles(spark):
+    rows = [("d%d" % i, "common words everywhere plus unique%d token%d tail%d" % (i, i, i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # 'common words everywhere' appears in all 6 docs -> df=6 > cap=3
+    uncapped = D.minhash_signatures(df, num_hashes=4).toPandas()
+    capped = D.minhash_signatures(df, num_hashes=4, max_doc_freq=3).toPandas()
+    assert len(uncapped) == len(capped) == 6
+    # the shared shingle dominated at least one doc's uncapped signature
+    merged = uncapped.merge(capped, on="doc_id", suffixes=("_u", "_c"))
+    assert any(
+        (merged[f"h{j}_u"] != merged[f"h{j}_c"]).any() for j in range(4)
+    )
+    # a doc whose every shingle is hot loses its signature
+    dup = spark.createDataFrame(
+        [("e%d" % i, "same same same same same") for i in range(5)],
+        "doc_id string, text string",
+    )
+    assert D.minhash_signatures(dup, num_hashes=4, max_doc_freq=3).count() == 0
+
+
+def test_mode_label_options(spark):
+    from image_feature_extraction_spark.operators.labels import mode_label
+
+    rows = [
+        # g1: 3 click, 2 view, 2 purchase (+2 error ignored) -> purchase
+        # share 2/7 >= 0.2 -> override wins over majority 'click'
+        *[("g1", "click")] * 3, *[("g1", "view")] * 2,
+        *[("g1", "purchase")] * 2, *[("g1", "error")] * 2,
+        # g2: 3 view, 1 purchase -> share 0.25 >= 0.2 -> purchase
+        *[("g2", "view")] * 3, ("g2", "purchase"),
+        # g3: 4 click, 0 purchase -> majority click
+        *[("g3", "click")] * 4,
+        # g4: tie click/view -> label asc -> click (no purchase)
+        *[("g4", "click")] * 2, *[("g4", "view")] * 2,
+        # g5: only ignored rows -> no output
+        *[("g5", "error")] * 3,
+    ]
+    df = spark.createDataFrame(rows, "g string, label string")
+    out = mode_label(
+        df, by="g", label_col="label",
+        ignore=("error",), dominant="purchase", dominant_share=0.2,
+    ).toPandas().set_index("g")
+    assert list(sorted(out.index)) == ["g1", "g2", "g3", "g4"]
+    assert out.loc["g1", "mode_label"] == "purchase"
+    assert out.loc["g1", "mode_count"] == 2
+    assert out.loc["g1", "n_considered"] == 7
+    assert out.loc["g2", "mode_label"] == "purchase"
+    assert out.loc["g3", "mode_label"] == "click"
+    assert out.loc["g3", "mode_count"] == 4
+    assert out.loc["g4", "mode_label"] == "click"
+    # without options: plain majority with tie-break
+    plain = mode_label(df, by="g", label_col="label").toPandas().set_index("g")
+    assert plain.loc["g1", "mode_label"] == "click"
+    assert plain.loc["g5", "mode_label"] == "error"

@@ -69,11 +69,15 @@ def _scaling_worker(cpus: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _scaling(n_docs: int = 48_000, levels=(2, 8, 32)) -> None:
+def _scaling(n_docs: int = 48_000, levels=(2, 8, 32), publish: bool = False) -> None:
     """Multi-parallelism scaling evidence (sandbox proxy for the N vs 4N
     executor criterion, BASELINE.json): the same job + input at local[N]
     levels in separate JVMs; efficiency between consecutive levels =
-    (T_low / T_high) / (high/low). Writes BENCH/BASELINE.md."""
+    (T_low / T_high) / (high/low).
+
+    Writes BENCH/scaling_<levels>.md; the hand-curated BENCH/BASELINE.md
+    (headline numbers + drift analysis) is only overwritten with
+    publish=True (CLI: --scaling-publish), never by a default re-run."""
     import subprocess
 
     # Interleave the levels (A,B,A,B) and take the per-level best: the host
@@ -102,7 +106,12 @@ def _scaling(n_docs: int = 48_000, levels=(2, 8, 32)) -> None:
             (lo["cpus"], hi["cpus"], ratio, (lo["sec"] / hi["sec"]) / ratio)
         )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    out_path = (
+        "BENCH/BASELINE.md"
+        if publish
+        else "BENCH/scaling_" + "_".join(str(c) for c in levels) + ".md"
+    )
+    with open(out_path, "w") as f:
         f.write(
             "# BENCH — measured numbers\n\n"
             "Flagship workload: broadcast as-of join + 8-feature x 2-scale\n"
@@ -217,7 +226,10 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
-    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        _scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 48_000)
+    elif len(sys.argv) > 1 and sys.argv[1] in ("--scaling", "--scaling-publish"):
+        _scaling(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 48_000,
+            publish=sys.argv[1] == "--scaling-publish",
+        )
     else:
         main()

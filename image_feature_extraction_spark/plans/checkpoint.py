@@ -132,7 +132,15 @@ def run_checkpointed(
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the checkpointed output across all completed units."""
-    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
+    """Read the checkpointed output across COMPLETED units only.
+
+    A crash between a unit's data write and its ledger publish leaves a
+    partial ``part=<unit>`` directory; "a unit is done only when its
+    ledger row is durable" has to hold for READERS too, so the scan is
+    filtered to ledger-complete units (partition pruning on the `part`
+    column — uncommitted directories are never touched)."""
+    done = sorted(completed_units(spark, out_dir))
+    df = spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
         os.path.join(out_dir, "data")
     )
+    return df.where(F.col("part").isin(*done) if done else F.lit(False))

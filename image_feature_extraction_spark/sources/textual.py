@@ -85,55 +85,54 @@ def read_text_matrix(
     Returns (row_idx, values array<double>, n_cols, _invalid): _invalid
     carries the raw line for rows whose width differs from the first
     row's or that fail numeric parse. Row order is the file order
-    (zipWithIndex over a single-file text scan).
+    (row_number over monotonically_increasing_id — manifest-sized inputs;
+    the single-partition window is the documented cost of a total order).
+
+    If row 0 itself is invalid (empty or unparseable) there is no width
+    reference: EVERY row comes back with _invalid set ("no width
+    reference...") rather than silently vanishing — the distributed
+    reading of the reference's assert-on-first-line behavior.
+    Pure DataFrame plan — no RDD API.
     """
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql import Window
 
     lines = spark.read.text(path)
-    rdd = lines.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["value"]))
-    schema = StructType(
-        [
-            StructField("row_idx", LongType()),
-            StructField("values", ArrayType(DoubleType())),
-            StructField("n_cols", IntegerType()),
-            StructField("_invalid", StringType()),
-        ]
+    w = Window.orderBy(F.monotonically_increasing_id())
+    idx = lines.select(
+        (F.row_number().over(w) - 1).cast("long").alias("row_idx"), "value"
     )
-    parsed = spark.createDataFrame(
-        rdd.map(lambda t: _parse_matrix_row(t[0], t[1], col_sep)), schema
+    toks = F.split(F.trim("value"), col_sep)
+    vals = F.transform(toks, lambda x: F.trim(x).try_cast("double"))
+    parsed = idx.select(
+        "row_idx",
+        F.when(F.trim("value") == "", F.lit("empty line"))
+        .when(F.exists(vals, lambda v: v.isNull()), F.col("value"))
+        .alias("_bad"),
+        vals.alias("_vals"),
+        F.size(vals).alias("_n"),
+    ).select(
+        "row_idx",
+        F.when(F.col("_bad").isNull(), F.col("_vals")).alias("values"),
+        F.when(F.col("_bad").isNull(), F.col("_n")).alias("n_cols"),
+        F.col("_bad"),
     )
     first = parsed.where(
-        (F.col("row_idx") == 0) & F.col("_invalid").isNull()
+        (F.col("row_idx") == 0) & F.col("_bad").isNull()
     ).select(F.col("n_cols").alias("_want"))
-    out = parsed.crossJoin(F.broadcast(first))
+    # LEFT join (not cross): when row 0 is invalid `first` is empty and
+    # every row must still come out, flagged
+    out = parsed.join(F.broadcast(first), F.lit(True), "left")
+    invalid = F.coalesce(
+        F.col("_bad"),
+        F.when(F.col("_want").isNull(), F.lit("no width reference: row 0 invalid")),
+        F.when(
+            F.col("n_cols") != F.col("_want"),
+            F.concat(F.lit("width mismatch: "), F.col("n_cols").cast("string")),
+        ),
+    )
     return out.select(
         "row_idx",
-        F.when(F.col("n_cols") == F.col("_want"), F.col("values")).alias("values"),
+        F.when(invalid.isNull(), F.col("values")).alias("values"),
         "n_cols",
-        F.coalesce(
-            F.col("_invalid"),
-            F.when(
-                F.col("n_cols") != F.col("_want"),
-                F.concat(F.lit("width mismatch: "), F.col("n_cols").cast("string")),
-            ),
-        ).alias("_invalid"),
+        invalid.alias("_invalid"),
     )
-
-
-def _parse_matrix_row(idx: int, line: str, sep: str):
-    s = line.strip()
-    if not s:
-        return (idx, None, None, "empty line")
-    try:
-        vals = [float(x) for x in s.split(sep)]
-    except ValueError:
-        return (idx, None, None, line)
-    return (idx, vals, len(vals), None)

@@ -80,3 +80,20 @@ def test_partial_data_without_ledger_is_overwritten(spark, tmp_path):
     # the garbage file is gone; output is readable and correct
     df = C.read_output(spark, out)
     assert df.count() == df.where(F.col("source") == "src0").count()
+
+
+def test_read_output_hides_uncommitted_partial_unit(spark, tmp_path):
+    """A crash between a unit's data write and its ledger publish must be
+    invisible to READERS: read_output returns only ledger-complete units."""
+    out = str(tmp_path / "ckpt")
+    C.run_checkpointed(spark, out, ["src0"], _job)
+    # simulate the crash: src1's data exists, its ledger row does not
+    _job(spark, "src1").write.mode("overwrite").parquet(
+        os.path.join(out, "data", "part=src1")
+    )
+    got = C.read_output(spark, out).select("source").distinct().toPandas()
+    assert got["source"].tolist() == ["src0"]
+    # after the resume completes src1, it becomes visible
+    C.run_checkpointed(spark, out, ["src0", "src1"], _job)
+    got2 = set(C.read_output(spark, out).select("source").distinct().toPandas()["source"])
+    assert got2 == {"src0", "src1"}

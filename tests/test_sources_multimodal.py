@@ -123,3 +123,23 @@ def test_text_matrix_rectangularity(spark, tmp_path):
     np.testing.assert_array_equal(np.asarray(good.iloc[0]["values"]), [1.0, 2.0, 3.0])
     bad = out[out["_invalid"].notna()]
     assert set(bad["row_idx"]) == {2, 3}  # width mismatch + parse failure
+
+
+def test_text_matrix_invalid_first_row_surfaces_everything(spark, tmp_path):
+    """Row 0 empty/unparseable -> no width reference: every row must come
+    back flagged, not silently vanish (the module's surface-offenders
+    contract)."""
+    p = tmp_path / "bad_first.csv"
+    p.write_text("\n1,2\n3,4\n")
+    out = (
+        TX.read_text_matrix(spark, str(p))
+        .toPandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["_invalid"].notna().all()
+    assert out.loc[0, "_invalid"] == "empty line"
+    assert (out.loc[1:, "_invalid"] == "no width reference: row 0 invalid").all()
+    # parsed widths survive for diagnostics even though values are nulled
+    assert out.loc[1, "n_cols"] == 2 and out["values"].isna().all()

@@ -136,3 +136,88 @@ def read_text_matrix(
         "n_cols",
         invalid.alias("_invalid"),
     )
+
+
+def read_octave_header(spark: SparkSession, path: str) -> dict:
+    """Parse the 5-line Octave ASCII header
+    (/root/reference/include/ife/IO/OctaveReader.hxx:20-68 semantics,
+    re-derived): '# <creator>', '# name: v', '# type: matrix',
+    '# ndims: N', then N space-separated sizes. Raises ValueError on the
+    same malformations the reference throws on."""
+    head = [r.value for r in spark.read.text(path).limit(5).collect()]
+    if len(head) < 5:
+        raise ValueError("Error reading header")
+
+    def _kv(line: str, key: str) -> str:
+        parts = line.split(":", 1)
+        if len(parts) != 2 or parts[0].strip("# ").strip() != key:
+            raise ValueError(f"Expected '# {key}: <value>'")
+        return parts[1].strip()
+
+    creator = head[0].strip("# ").strip()
+    name = _kv(head[1], "name")
+    mtype = _kv(head[2], "type")
+    ndims = int(_kv(head[3], "ndims"))
+    sizes = [int(s) for s in head[4].split()]
+    if len(sizes) != ndims:
+        raise ValueError("ndims and number of size fields do not match")
+    return {
+        "creator": creator,
+        "name": name,
+        "type": mtype,
+        "ndims": ndims,
+        "size": sizes,
+    }
+
+
+def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]:
+    """Octave ASCII 3-D volume (SURVEY §2 S4) -> (header, DataFrame of
+    (x, y, z, value)) with the reference's layout: values stream in slice
+    order (z outer), each slice column-major with y FASTEST, then x
+    (OctaveReader.hxx:118-141: ``for z / for x / for y: is >> p``), i.e.
+    token k maps to y = k % sy, x = (k // sy) % sx, z = k // (sy*sx).
+
+    Spark-first: the token stream is exploded with per-line cumulative
+    offsets (window over the line order), so the coordinate math is pure
+    Catalyst; only the 5 header lines touch the driver. Raises ValueError
+    when the token count does not equal sx*sy*sz (the reference's
+    'Not enough values in file'), counting extra values as an error too —
+    a distributed reader cannot silently stop early."""
+    from pyspark.sql import Window
+
+    header = read_octave_header(spark, path)
+    if header["ndims"] != 3:
+        raise ValueError("Dimension must be 3")
+    sx, sy, sz = header["size"]
+
+    lines = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    idx = lines.select(
+        (F.row_number().over(w) - 1).cast("long").alias("row_idx"), "value"
+    ).where(F.col("row_idx") >= 5)
+    toks = F.filter(F.split(F.trim("value"), r"\s+"), lambda t: t != "")
+    counted = idx.select("row_idx", toks.alias("_toks"), F.size(toks).alias("_n"))
+    wo = Window.orderBy("row_idx").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counted.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)).cast("long")
+    )
+    ex = offs.select("_off", F.posexplode("_toks").alias("_pos", "_tok"))
+    lin = (F.col("_off") + F.col("_pos")).alias("_k")
+    vol = ex.select(
+        lin,
+        F.col("_tok").try_cast("double").alias("value"),
+    ).select(
+        ((F.col("_k") / F.lit(sy)).cast("long") % F.lit(sx)).cast("int").alias("x"),
+        (F.col("_k") % F.lit(sy)).cast("int").alias("y"),
+        (F.col("_k") / F.lit(sy * sx)).cast("long").cast("int").alias("z"),
+        "value",
+        "_k",
+    )
+    n_tok = vol.count()
+    if n_tok != sx * sy * sz:
+        raise ValueError(
+            f"Not enough values in file: got {n_tok}, want {sx * sy * sz}"
+            if n_tok < sx * sy * sz
+            else f"Too many values in file: got {n_tok}, want {sx * sy * sz}"
+        )
+    return header, vol.drop("_k")

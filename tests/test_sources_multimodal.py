@@ -143,3 +143,54 @@ def test_text_matrix_invalid_first_row_surfaces_everything(spark, tmp_path):
     assert (out.loc[1:, "_invalid"] == "no width reference: row 0 invalid").all()
     # parsed widths survive for diagnostics even though values are nulled
     assert out.loc[1, "n_cols"] == 2 and out["values"].isna().all()
+
+
+def _write_octave(path, V, per_line=7):
+    """Write a 3-D numpy array V[x,y,z] in the reference's Octave layout:
+    slice order (z outer), within a slice y fastest then x."""
+    sx, sy, sz = V.shape
+    vals = [
+        repr(float(V[x, y, z]))
+        for z in range(sz)
+        for x in range(sx)
+        for y in range(sy)
+    ]
+    lines = [
+        "# Created by test",
+        "# name: v",
+        "# type: matrix",
+        "# ndims: 3",
+        f" {sx} {sy} {sz}",
+    ]
+    for i in range(0, len(vals), per_line):
+        lines.append(" " + " ".join(vals[i : i + per_line]))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_octave_volume_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(4, 3, 5))
+    p = tmp_path / "vol.mat"
+    _write_octave(p, V)
+    header, df = TX.read_octave_volume(spark, str(p))
+    assert header["name"] == "v" and header["size"] == [4, 3, 5]
+    got = df.toPandas()
+    assert len(got) == V.size
+    for _, r in got.iterrows():
+        x, y, z = int(r["x"]), int(r["y"]), int(r["z"])
+        assert r["value"] == V[x, y, z], (x, y, z)
+
+
+def test_octave_volume_errors(spark, tmp_path):
+    p = tmp_path / "bad.mat"
+    p.write_text("# c\n# name: v\n# type: matrix\n# ndims: 3\n 2 2 2\n1 2 3\n")
+    with pytest.raises(ValueError, match="Not enough values"):
+        TX.read_octave_volume(spark, str(p))
+    p2 = tmp_path / "badhdr.mat"
+    p2.write_text("# c\n# nom: v\n# type: matrix\n# ndims: 3\n 2 2 2\n")
+    with pytest.raises(ValueError, match="Expected '# name"):
+        TX.read_octave_volume(spark, str(p2))
+    p3 = tmp_path / "badnd.mat"
+    p3.write_text("# c\n# name: v\n# type: matrix\n# ndims: 2\n 2 2\n1 2 3 4\n")
+    with pytest.raises(ValueError, match="Dimension must be 3"):
+        TX.read_octave_volume(spark, str(p3))

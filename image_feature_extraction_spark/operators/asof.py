@@ -594,20 +594,25 @@ def asof_join_cogroup(
     tolerance: float | None = None,
     suffix: str = "_right",
     include_right_on: bool = False,
+    num_buckets: int = 128,
 ) -> DataFrame:
     """Partitioned-index as-of join: the "per-partition index slice" tier.
 
-    Both sides are hash-shuffled on the entity key (one exchange each) and
-    merged per entity with one vectorized searchsorted — each task holds
-    only ITS entities' slice of the right-side index, so a right side far
-    above broadcast size (the ~3 GB production stats table, SCALE.md) never
-    concentrates on the driver or in every executor. Matching semantics are
-    shared with asof_join_broadcast via _np_asof_match, including the
-    duplicate-timestamp contract (backward = greatest payload, forward =
-    least) and direction="interpolate".
+    Both sides are hash-shuffled on a BUCKET of the entity key
+    (xxhash64(entity) % num_buckets — one exchange each) and merged with
+    one vectorized searchsorted per entity inside the bucket task. Each
+    task holds only its bucket's slice of the right-side index, so a
+    right side far above broadcast size (the ~3 GB production stats
+    table, SCALE.md) never concentrates on the driver or in every
+    executor — and the Python call count is num_buckets, not #entities
+    (per-entity cogroups were measured ~10x slower from per-group
+    applyInPandas overhead alone). Matching semantics are shared with
+    asof_join_broadcast via _np_asof_match, including the duplicate-
+    timestamp contract (backward = greatest payload, forward = least)
+    and direction="interpolate".
 
     Skew note: a single entity's whole left+right history lands in one
-    cogroup, so this is the mid-tier for many-entity, non-pathological
+    bucket, so this is the mid-tier for many-entity, non-pathological
     distributions; a hot-entity workload should use asof_join (bucketed),
     which additionally splits entities across time buckets.
     """
@@ -642,61 +647,82 @@ def asof_join_cogroup(
     if right_on_out:
         gather_cols.append((on, right_on_out))
 
-    def _missing_col(n: int, src: pd.Series):
-        if interp:
-            return np.full(n, np.nan, dtype=np.float64)
-        if pd.api.types.is_datetime64_any_dtype(src.dtype):
-            return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
-        if src.dtype.kind == "f":
-            return np.full(n, np.nan, dtype=np.float64)
-        return np.full(n, None, dtype=object)
-
     # Rename the right side up front: cogroup's Arrow transfer silently
     # drops right-side columns whose names collide with left-side non-key
     # columns (observed on the shared `on` column under self-lineage).
     RP = "_r_"
 
+    def _alloc(n: int, src):
+        if interp:
+            return np.full(n, np.nan, dtype=np.float64)
+        if src is not None and pd.api.types.is_datetime64_any_dtype(src.dtype):
+            return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
+        if src is not None and src.dtype.kind == "f":
+            return np.full(n, np.nan, dtype=np.float64)
+        return np.full(n, None, dtype=object)
+
     def merge(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        out = lp.copy()
         n = len(lp)
         if n == 0:
             return pd.DataFrame(columns=out_names)
+        out = lp.drop(columns=["_g"])
         if len(rp) == 0:
             for c, oc in gather_cols:
-                out[oc] = _missing_col(n, pd.Series(dtype=object))
+                out[oc] = _alloc(n, None)
             return out[out_names]
         # same duplicate-ts contract as the broadcast index build
-        rp = rp.sort_values([RP + on, *[RP + c for c in rcols]], kind="stable")
-        rts = _ts_np_series(rp[RP + on])
-        t = _ts_np_series(lp[on])
-        ok, m = _np_asof_match(rts, t, direction, tolerance)
-        for c, oc in gather_cols:
-            src = _dt_naive(rp[RP + c])
-            arr = (
-                src.to_numpy().astype("datetime64[us]")
-                if pd.api.types.is_datetime64_any_dtype(src.dtype)
-                else src.to_numpy()
+        rp = rp.sort_values(
+            [*[RP + c for c in by_l], RP + on, *[RP + c for c in rcols]],
+            kind="stable",
+        )
+        payload = {
+            c: (
+                _dt_naive(rp[RP + c]).to_numpy().astype("datetime64[us]")
+                if pd.api.types.is_datetime64_any_dtype(rp[RP + c].dtype)
+                else rp[RP + c].to_numpy()
             )
-            col = _missing_col(n, src)
-            if ok.any():
-                if interp:
-                    bi, fi, frac = m
-                    vb = arr[bi].astype(np.float64)
-                    vf = arr[fi].astype(np.float64)
-                    col[ok] = (vb + (vf - vb) * frac)[ok]
-                else:
-                    col[ok] = arr[m[ok]]
-            out[oc] = col
+            for c in (on, *rcols)
+        }
+        rts_all = _ts_np_series(rp[RP + on])
+        r_groups = rp.groupby([RP + c for c in by_l], sort=False).indices
+        lts = _ts_np_series(lp[on])
+        l_groups = lp.groupby(by_l, sort=False).indices
+        targets = {oc: _alloc(n, rp[RP + c]) for c, oc in gather_cols}
+        for key, rows in l_groups.items():
+            rrows = r_groups.get(key)
+            if rrows is None:
+                continue
+            # rp is entity-sorted, so an entity's rows are one contiguous,
+            # ts-sorted slice
+            rts = rts_all[rrows]
+            ok, m = _np_asof_match(rts, lts[rows], direction, tolerance)
+            if not ok.any():
+                continue
+            hit_rows = rows[ok]
+            if interp:
+                bi, fi, frac = m
+                for c, oc in gather_cols:
+                    vb = payload[c][rrows][bi].astype(np.float64)
+                    vf = payload[c][rrows][fi].astype(np.float64)
+                    targets[oc][hit_rows] = (vb + (vf - vb) * frac)[ok]
+            else:
+                hit_sel = rrows[m[ok]]
+                for c, oc in gather_cols:
+                    targets[oc][hit_rows] = payload[c][hit_sel]
+        for c, oc in gather_cols:
+            out[oc] = targets[oc]
         return out[out_names]
 
+    bucket_of = lambda cols: F.pmod(F.xxhash64(*cols), F.lit(num_buckets))  # noqa: E731
+    l2 = left.withColumn("_g", bucket_of(by_l))
     rsel = right.select(
         *[F.col(c).alias(RP + c) for c in by_l],
         F.col(on).alias(RP + on),
         *[F.col(c).alias(RP + c) for c in rcols],
-    )
+    ).withColumn("_g", bucket_of([RP + c for c in by_l]))
     return (
-        left.groupBy(*by_l)
-        .cogroup(rsel.groupBy(*[RP + c for c in by_l]))
+        l2.groupBy("_g")
+        .cogroup(rsel.groupBy("_g"))
         .applyInPandas(merge, out_schema)
     )
 

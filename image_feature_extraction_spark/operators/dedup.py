@@ -53,6 +53,23 @@ def md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def content_hash(col, hash_fn: str = "md5"):
+    """Non-negative 32-bit content hash of a string column.
+
+    "md5" is the ORACLE-PARITY path (DuckDB reproduces it bit-for-bit);
+    "xxhash64" is whole-stage-codegen native (no hex round-trip) with the
+    same distributional properties but no SQL mirror. Measured at sf0.1
+    the two are within noise — shingle CONSTRUCTION dominates, not
+    hashing (see widen_small_scan) — so xxhash64 is an option for
+    pipelines where hashing itself dominates (very long documents), not
+    a default. Both land in [0, 2^32)."""
+    if hash_fn == "md5":
+        return md5_long(col)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(1 << 32)).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def words_of(text_col):
     """Whitespace tokenization, trim first (matches DuckDB
     regexp_split_to_array(trim(x), '\\s+'))."""
@@ -63,6 +80,9 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
              out_col: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc: one output row per
     (doc_id, shingle)."""
+    from ..session import widen_small_scan
+
+    df = widen_small_scan(df)
     w = words_of(F.col(text_col))
     gram = F.when(
         F.size(w) >= n,
@@ -95,7 +115,9 @@ def hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                        num_hashes: int = 8,
-                       max_doc_freq: int | None = None) -> DataFrame:
+                       max_doc_freq: int | None = None,
+                       hot: DataFrame | None = None,
+                       hash_fn: str = "md5") -> DataFrame:
     """Per-doc MinHash signature: h_j = min over shingles of
     (a_j * (H(shingle) mod p) + b_j) mod p. Docs with fewer than one
     shingle are dropped (no signature). Output: doc_id, h0..h{k-1}.
@@ -105,16 +127,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 
     max_doc_freq drops ubiquitous shingles (document frequency > cap)
     BEFORE hashing — boilerplate shared by everything stops dominating
-    the signature, and the md5 work shrinks with it. Docs whose every
-    shingle is hot lose their signature (dropped, like shingle-less docs).
+    the signature, and the hash work shrinks with it. Docs whose every
+    shingle is hot lose their signature (dropped, like shingle-less
+    docs). The cap costs one extra pass over the shingle stream (the DF
+    count); in a production pipeline compute `hot_shingles` ONCE and
+    pass it via `hot=` to amortize it across every capped operator.
+
+    hash_fn: "md5" (DuckDB-oracle parity, default) or "xxhash64" (the
+    codegen-native production path — see content_hash).
     """
     assert num_hashes <= len(MINHASH_COEFFS)
     sh = shingles(df, text_col, n)
-    if max_doc_freq is not None:
-        sh = sh.join(
-            F.broadcast(hot_shingles(sh, max_doc_freq)), "shingle", "left_anti"
-        )
-    hmod = (md5_long(F.col("shingle")) % MINHASH_PRIME).alias("hm")
+    if hot is None and max_doc_freq is not None:
+        hot = hot_shingles(sh, max_doc_freq)
+    if hot is not None:
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    hmod = (content_hash(F.col("shingle"), hash_fn) % MINHASH_PRIME).alias("hm")
     sh = sh.select("doc_id", hmod)
     aggs = [
         F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_PRIME).alias(f"h{j}")
@@ -180,8 +208,10 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     One explode + one groupBy(doc_id) with `bits` conditional sums —
     map-side combinable, shuffle carries `bits` longs per doc.
     """
+    from ..session import widen_small_scan
+
     w = words_of(F.col(text_col))
-    ex = df.select("doc_id", F.explode(w).alias("word"))
+    ex = widen_small_scan(df).select("doc_id", F.explode(w).alias("word"))
     ex = ex.select("doc_id", md5_long(F.col("word")).alias("h"))
     bit_aggs = [
         F.sum(

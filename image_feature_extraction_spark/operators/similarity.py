@@ -103,7 +103,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    from ..session import widen_small_scan
+
+    c = widen_small_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col(query_id_col) != F.col("neighbor_id"))
@@ -148,6 +152,9 @@ def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col,
     sign decisions except a dot within ~1 ulp of exactly 0 (probability
     ~1e-13 per dot for random embeddings).
     """
+    from ..session import widen_small_scan
+
+    df = widen_small_scan(df)
     if method == "blas":
         return _table_buckets_blas(df, n_tables, n_planes, dim, vec_col)
     out = df

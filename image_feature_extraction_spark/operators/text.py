@@ -100,14 +100,18 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*sel)
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
+                hash_fn: str = "md5") -> DataFrame:
     """Document fingerprint from word n-gram hashes (winnowing-lite):
     min-hash, max-hash, xor-reduced hash, and distinct-shingle count —
-    a compact content signature robust to local edits at the ends."""
-    from .dedup import shingles
+    a compact content signature robust to local edits at the ends.
+
+    hash_fn: "md5" (DuckDB-oracle parity, default) or "xxhash64" (the
+    codegen-native production path, no hex round-trip)."""
+    from .dedup import content_hash, shingles
 
     sh = shingles(df, text_col, n)
-    h = sh.select("doc_id", md5_long(F.col("shingle")).alias("h"))
+    h = sh.select("doc_id", content_hash(F.col("shingle"), hash_fn).alias("h"))
     # xor-reduction via sum of bit parities is order-independent; DuckDB
     # mirrors with bit_xor aggregate. Spark has no bit_xor agg function on
     # all versions — emulate order-independently: xor == parity per bit.

@@ -92,3 +92,25 @@ def sf_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver testdata parquet tables as DataFrames."""
     out = [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
     return out[0] if len(out) == 1 else out
+
+
+def widen_small_scan(df, target: int | None = None):
+    """Repartition a SMALL file scan up to the session's default
+    parallelism before compute-heavy per-row work.
+
+    A file smaller than one split scans as ONE task, serializing every
+    downstream narrow operator (measured 10x on shingling at sf0.1: one
+    580 KB parquet file -> 32 tasks, 7.9s -> 0.7s). The exchange moves
+    only the small input. Inputs that already scan wide — the 100 TB
+    case, where an extra exchange would be catastrophic — pass through
+    untouched (file count >= parallelism), as do non-file sources
+    (synth mapInArrow tables are already as wide as their range)."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    return df.repartition(target)

@@ -253,14 +253,18 @@ _register(
 
 def q_mode_label(spark, sf_dir):
     """A5 majority label per group with deterministic tie-break (count desc,
-    label asc) — ExtractLabels.cxx:159-212 semantics."""
+    label asc) — ExtractLabels.cxx:159-212 semantics. Option-free call of
+    the same operator q_mode_label_options exercises fully."""
+    from ..operators.labels import mode_label
+
     ev = _t(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("mode_event"), F.col("cnt").alias("mode_count"))
+        mode_label(ev, by="user_id", label_col="event_type")
+        .select(
+            "user_id",
+            F.col("mode_label").alias("mode_event"),
+            F.col("mode_count"),
+        )
         .orderBy("user_id")
     )
 

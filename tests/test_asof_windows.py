@@ -801,3 +801,60 @@ def test_asof_broadcast_and_cogroup_timestamp_ltz(spark):
         for r in rows:
             if r.ts_right is not None:
                 assert r.ts_right.timestamp() <= r.sec
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_asof_interpolate_randomized_property(spark, seed):
+    """Randomized lerp property vs a numpy oracle, with right timestamps
+    planted ON bucket boundaries and widths chosen so brackets straddle
+    buckets: for every left row inside the hull,
+    value = vb + (vf - vb) * (t - tb)/(tf - tb); null outside."""
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 300, 60
+    left = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 6, n_l).astype(np.int64),
+            "ts": rng.integers(-5000, 5000, n_l).astype(np.int64),
+            "lval": rng.normal(size=n_l),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    rts = rng.integers(-5000, 5000, n_r)
+    rts[: n_r // 3] = (rts[: n_r // 3] // 1000) * 1000  # on-boundary for W=1000
+    right = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 7, n_r).astype(np.int64),
+            "ts": rts.astype(np.int64),
+            "rval": rng.normal(size=n_r),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+
+    def oracle(lrow):
+        grp = right[right.entity_id == lrow.entity_id].sort_values("ts")
+        if not len(grp):
+            return None
+        t = lrow.ts
+        back = grp[grp.ts <= t]
+        fwd = grp[grp.ts >= t]
+        if not len(back) or not len(fwd):
+            return None
+        tb, vb = float(back.iloc[-1].ts), float(back.iloc[-1].rval)
+        tf, vf = float(fwd.iloc[0].ts), float(fwd.iloc[0].rval)
+        frac = (t - tb) / (tf - tb) if tf > tb else 0.0
+        return vb + (vf - vb) * frac
+
+    want = {
+        (r.entity_id, r.ts): oracle(r) for r in left.itertuples()
+    }
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for width in (1000.0, 77.0, 10_000_000.0):
+        out = asof_join(
+            ldf, rdf, on="ts", by="entity_id",
+            direction="interpolate", bucket_width=width,
+        )
+        got = {(r.entity_id, r.ts): r.rval for r in out.collect()}
+        assert set(got) == set(want)
+        for k, v in want.items():
+            if v is None:
+                assert got[k] is None or pd.isna(got[k]), (width, k, got[k])
+            else:
+                assert got[k] == pytest.approx(v, rel=1e-12), (width, k)

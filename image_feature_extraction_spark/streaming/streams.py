@@ -165,3 +165,38 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_exact(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    ts: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup at ingest: keep the FIRST arrival of each
+    content hash (md5 — the same content key as the batch
+    dedup.md5_long/q_dedup_exact family, so batch and stream agree on
+    what "duplicate" means).
+
+    Without `ts`, state is the unbounded set of seen hashes
+    (dropDuplicates) — right for bounded replays. With `ts`, state is
+    bounded by the watermark horizon (dropDuplicatesWithinWatermark):
+    a duplicate arriving within the horizon of its original is dropped,
+    older state is evicted — the production shape for a continuous
+    crawl feed, where content recurrence beyond the horizon is
+    re-admitted deliberately (re-crawls) rather than held in state
+    forever.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = docs.withColumn("_h", F.md5(F.col(content_col)))
+    if ts is None:
+        return hashed.dropDuplicates(["_h"]).drop("_h")
+    out = (
+        _tz(hashed, ts)
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+    return out

@@ -168,3 +168,29 @@ def test_streaming_pointintime_enrichment(spark, events_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     m = got.dropna(subset=["ts_right"])
     assert (m["ts_right"] <= m["ts"]).all()  # zero leakage on the stream
+
+
+def test_streaming_dedup_exact_parity(spark, tmp_path):
+    """Streaming exact dedup keeps one row per content hash and agrees
+    with the batch dedup family's survivor count."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(12)],
+            "text": [f"content {i % 5}" for i in range(12)],  # 5 distinct
+        }
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).repartition(3).write.parquet(d)
+    batch = spark.read.parquet(d)
+    sdf = ST.stream_events(spark, d, batch.schema)
+    ST.run_to_memory(ST.dedup_exact(sdf), "dedup_stream", "append")
+    got = spark.table("dedup_stream").toPandas()
+    assert len(got) == 5
+    assert sorted(got["text"].unique()) == sorted(docs["text"].unique())
+    # batch agreement on the survivor count
+    from pyspark.sql import functions as F
+
+    n_batch = batch.select(F.md5("text")).distinct().count()
+    assert n_batch == len(got)

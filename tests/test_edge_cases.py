@@ -85,3 +85,69 @@ def test_kernel_min_tokens():
     v = K.doc_feature_vector(np.array([7], dtype=np.int32), scales=(1.0,))
     assert len(v) == K.NUM_FEATURES * 5
     assert np.isfinite(v).all()
+
+
+def test_asof_round2_strategies_empty_and_single(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_auto,
+        asof_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 2], "ts": [10, 20], "lv": [1.0, 2.0]})
+    )
+    empty_right = spark.createDataFrame([], "entity_id long, ts long, rv double")
+    for kw in ({}, {"strategy": "cogroup"}):
+        out = asof_join_auto(
+            left, empty_right, on="ts", by="entity_id", **kw
+        ).toPandas()
+        assert len(out) == 2 and out["rv"].isna().all()
+    # interpolate with a single right row: exact hit returns the sample,
+    # everything else is outside the hull
+    one = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [10], "rv": [7.5]})
+    )
+    for fn, kw in (
+        (asof_join, {"bucket_width": 100.0}),
+        (asof_join_broadcast, {}),
+        (asof_join_cogroup, {}),
+    ):
+        got = {
+            (r.entity_id, r.ts): r.rv
+            for r in fn(
+                left, one, on="ts", by="entity_id", direction="interpolate", **kw
+            ).collect()
+        }
+        assert got[(1, 10)] == 7.5
+        assert got[(2, 20)] is None or pd.isna(got[(2, 20)])
+    # empty LEFT side comes back empty, schema intact
+    empty_left = spark.createDataFrame([], "entity_id long, ts long, lv double")
+    out = asof_join_cogroup(empty_left, one, on="ts", by="entity_id")
+    assert out.count() == 0 and set(out.columns) == {"entity_id", "ts", "lv", "rv"}
+
+
+def test_mode_label_empty_and_all_ignored(spark):
+    from image_feature_extraction_spark.operators.labels import mode_label
+
+    empty = spark.createDataFrame([], "g string, label string")
+    assert mode_label(empty, by="g", label_col="label").count() == 0
+    only_ign = spark.createDataFrame(
+        [("g1", "bad"), ("g1", "bad")], "g string, label string"
+    )
+    assert mode_label(only_ign, by="g", label_col="label", ignore=("bad",)).count() == 0
+
+
+def test_embedding_bucketed_tiny_inputs(spark):
+    e0 = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert D.embedding_neardup_pairs_bucketed(e0, dim=4).count() == 0
+    e1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert D.embedding_neardup_pairs_bucketed(e1, dim=4).count() == 0
+    # two identical vectors -> one pair at cosine 1.0
+    e2 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 0.0, 0.0]), (2, [1.0, 2.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = D.embedding_neardup_pairs_bucketed(e2, threshold=0.9, dim=4).collect()
+    assert len(rows) == 1 and rows[0].id_a == 1 and rows[0].cosine == 1.0

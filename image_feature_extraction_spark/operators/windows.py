@@ -210,3 +210,81 @@ def session_stats(
     for name, col in (agg_cols or {}).items():
         aggs.append(col.alias(name))
     return s.groupBy(*by_l, "session_id").agg(*aggs)
+
+
+def gaussian_time_smooth(
+    df: DataFrame,
+    by,
+    ts: str,
+    value: str,
+    sigma: float,
+    cutoff: float = 3.0,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """Gaussian-weighted time smoothing with normalized-convolution
+    missing-data semantics — the full relational form of the reference's
+    N3+N4 (SmoothingRecursiveGaussian + NormalizedGaussianConvolution,
+    NormalizedGaussianConvolutionImageFilter.h:14-45): for each row,
+    smoothed = sum_j w_ij * v_j / sum_j w_ij over neighbors within
+    cutoff*sigma, w_ij = exp(-(t_i-t_j)^2 / (2 sigma^2)). Null `value`
+    rows contribute zero weight (certainty 0) but still RECEIVE a
+    smoothed estimate — interpolation across missing data, exactly the
+    filter's contract. Rows with no observed neighbor in band -> null.
+
+    Physical shape: a BANDED self-join — each row joins only candidates
+    in its own or adjacent time buckets of width cutoff*sigma (explode
+    of 3 bucket keys on the probe side, equi-join on (entity, bucket),
+    band filter, one aggregation). Work per row is bounded by band
+    occupancy, never the entity's history; shuffles are keyed by
+    (entity, bucket), so a hot entity spreads across buckets.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    by_l = _as_list(by)
+    B = float(cutoff) * float(sigma)
+    tcol = F.col(ts)
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        tcol = tcol.cast("timestamp")
+    base = df.withColumn("_t", tcol.cast("double"))
+    # unique probe-row id: keeps duplicate input rows distinct through the
+    # join+aggregate (grouping on data columns would merge them)
+    probe0 = base.withColumn("_rid", F.monotonically_increasing_id())
+    probe = probe0.withColumn(
+        "_bk",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("_t") / F.lit(B)).cast("long") + F.lit(o))
+                    for o in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    build = base.select(
+        *[F.col(c).alias(f"_r_{c}") for c in by_l],
+        F.col("_t").alias("_rt"),
+        F.col(value).alias("_rv"),
+    ).withColumn("_bk", F.floor(F.col("_rt") / F.lit(B)).cast("long"))
+    cond = F.col("probe._bk") == F.col("build._bk")
+    for c in by_l:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    # every probe row self-matches (same bucket, dt=0), so the inner join
+    # preserves row count
+    joined = probe.alias("probe").join(build.alias("build"), cond).where(
+        F.abs(F.col("_t") - F.col("_rt")) <= F.lit(B)
+    )
+    w = F.exp(
+        -((F.col("_t") - F.col("_rt")) * (F.col("_t") - F.col("_rt")))
+        / F.lit(2.0 * float(sigma) * float(sigma))
+    )
+    # certainty 0 on missing values: weight only observed neighbors
+    w_obs = F.when(F.col("_rv").isNotNull(), w).otherwise(F.lit(0.0))
+    agg = joined.groupBy("_rid").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        F.sum(w_obs * F.coalesce(F.col("_rv"), F.lit(0.0))).alias("_num"),
+        F.sum(w_obs).alias("_den"),
+    )
+    return agg.select(
+        *df.columns,
+        F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")).alias(out_col),
+    )

@@ -1091,3 +1091,48 @@ _register(
     ORDER BY user_id
     """,
 )
+
+
+def q_gaussian_smooth(spark, sf_dir):
+    """N3+N4 full semantics: Gaussian-weighted normalized convolution
+    along the time axis — error rows are missing (certainty 0) but still
+    receive interpolated estimates. Banded self-join physical shape."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = W.gaussian_time_smooth(
+        ev, by="user_id", ts="ts", value="v", sigma=600.0, cutoff=3.0
+    )
+    return out.select(
+        "event_id", "user_id", F.round("smoothed", 6).alias("smoothed")
+    ).orderBy("event_id")
+
+
+_GS_W = (
+    "CASE WHEN vb IS NOT NULL "
+    "THEN exp(-((t - tb)*(t - tb))/(2.0*600.0*600.0)) ELSE 0.0 END"
+)
+
+_register(
+    "q_gaussian_smooth",
+    q_gaussian_smooth,
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch(ts) AS t,
+             CASE WHEN event_type <> 'error' THEN value END AS v
+      FROM events
+    ), pairs AS (
+      SELECT a.event_id, a.user_id, a.t, b.t AS tb, b.v AS vb
+      FROM ev a JOIN ev b
+        ON a.user_id = b.user_id AND abs(a.t - b.t) <= 1800.0
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN SUM({_GS_W}) > 0
+                 THEN SUM(({_GS_W}) * COALESCE(vb, 0.0)) / SUM({_GS_W})
+                 END, 6) AS smoothed
+    FROM pairs
+    GROUP BY event_id, user_id, t
+    ORDER BY event_id
+    """,
+)

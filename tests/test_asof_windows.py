@@ -858,3 +858,41 @@ def test_asof_interpolate_randomized_property(spark, seed):
                 assert got[k] is None or pd.isna(got[k]), (width, k, got[k])
             else:
                 assert got[k] == pytest.approx(v, rel=1e-12), (width, k)
+
+
+def test_gaussian_time_smooth_hand_values(spark):
+    from image_feature_extraction_spark.operators.windows import gaussian_time_smooth
+
+    sigma = 10.0
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1, 1, 1, 1, 2],
+                "ts": [0.0, 10.0, 20.0, 200.0, 50.0],
+                "v": [1.0, None, 3.0, None, 7.0],
+            }
+        )
+    )
+    out = gaussian_time_smooth(
+        df, by="entity_id", ts="ts", value="v", sigma=sigma, cutoff=3.0
+    ).toPandas()
+    got = {(r.entity_id, r.ts): r.smoothed for _, r in out.iterrows()}
+    w = lambda dt: np.exp(-(dt * dt) / (2 * sigma * sigma))  # noqa: E731
+    # row (1, 10): missing value, neighbors at 0 (v=1) and 20 (v=3),
+    # both at distance 10 -> interpolates to exactly 2
+    assert got[(1, 10.0)] == pytest.approx(2.0, rel=1e-12)
+    # row (1, 0): neighbors self (w=1,v=1) and t=20 (w(20), v=3)
+    want0 = (1.0 * 1.0 + w(20) * 3.0) / (1.0 + w(20))
+    assert got[(1, 0.0)] == pytest.approx(want0, rel=1e-12)
+    # row (1, 200): missing, no observed neighbor within 30 -> null
+    assert got[(1, 200.0)] is None or pd.isna(got[(1, 200.0)])
+    # isolated observed row smooths to itself
+    assert got[(2, 50.0)] == pytest.approx(7.0)
+    assert len(out) == 5
+    # duplicate rows stay distinct
+    dup = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [5.0, 5.0], "v": [2.0, 2.0]})
+    )
+    assert gaussian_time_smooth(
+        dup, by="entity_id", ts="ts", value="v", sigma=sigma
+    ).count() == 2

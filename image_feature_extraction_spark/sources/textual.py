@@ -221,3 +221,33 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
             else f"Too many values in file: got {n_tok}, want {sx * sy * sz}"
         )
     return header, vol.drop("_k")
+
+
+def write_text_matrix(
+    df: DataFrame,
+    path: str,
+    col_sep: str = ",",
+    order_col: str = "row_idx",
+    values_col: str = "values",
+    fmt: str = "%.17g",
+) -> None:
+    """Write a (row_idx, values array<double>) frame as a dense text
+    matrix in row order — the reference's writeSequenceAsText /
+    writeTextMatrix output side (include/ife/IO/IO.h:24-41, re-derived).
+
+    %.17g round-trips float64 exactly through read_text_matrix (tested).
+    The single ordered text file is inherently a one-reducer sink —
+    matrices written this way are small interchange artifacts (bag CSVs,
+    edge tables), not datasets; big outputs belong in parquet.
+    """
+    rows = (
+        df.orderBy(order_col)
+        .select(
+            F.concat_ws(
+                col_sep,
+                F.transform(values_col, lambda x: F.format_string(fmt, x)),
+            ).alias("value")
+        )
+        .coalesce(1)
+    )
+    rows.write.mode("overwrite").text(path)

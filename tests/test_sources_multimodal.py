@@ -194,3 +194,26 @@ def test_octave_volume_errors(spark, tmp_path):
     p3.write_text("# c\n# name: v\n# type: matrix\n# ndims: 2\n 2 2\n1 2 3 4\n")
     with pytest.raises(ValueError, match="Dimension must be 3"):
         TX.read_octave_volume(spark, str(p3))
+
+
+def test_text_matrix_write_read_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(6, 4)) * 10.0 ** rng.integers(-8, 8, size=(6, 4))
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"row_idx": range(6), "values": [list(map(float, r)) for r in M]}
+        )
+    )
+    out = str(tmp_path / "mat_out")
+    TX.write_text_matrix(df, out)
+    back = (
+        TX.read_text_matrix(spark, out)
+        .toPandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    assert back["_invalid"].isna().all()
+    got = np.stack(back["values"].to_numpy())
+    np.testing.assert_array_equal(got, M)  # %.17g is exact for float64

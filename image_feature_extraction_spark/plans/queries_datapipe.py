@@ -892,6 +892,45 @@ def q_asof_cogroup(spark, sf_dir):
 _register("q_asof_cogroup", q_asof_cogroup, _ASOF_BACKWARD_SQL)
 
 
+def q_asof_broadcast(spark, sf_dir):
+    """Broadcast as-of strategy standalone (the flagship's production
+    shape: zero left-side shuffle, map-side searchsorted). Same oracle as
+    q_asof_join."""
+    from ..operators.asof import asof_join_broadcast
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join_broadcast(clicks, purchases, on="ts", by="user_id")
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+_register("q_asof_broadcast", q_asof_broadcast, _ASOF_BACKWARD_SQL)
+
+
+def q_asof_window(spark, sf_dir):
+    """Entity-window as-of strategy standalone (single exchange, union +
+    last-ignorenulls fill). Same oracle as q_asof_join."""
+    from ..operators.asof import asof_join_window
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join_window(clicks, purchases, on="ts", by="user_id")
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+_register("q_asof_window", q_asof_window, _ASOF_BACKWARD_SQL)
+
+
 def q_checkpoint_ledger(spark, sf_dir):
     """North-rule lineage surface: run a small checkpointed feature job
     (2 source units) into a temp dir, then RESUME it (everything skipped),

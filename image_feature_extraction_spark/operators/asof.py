@@ -354,7 +354,11 @@ def asof_join_window(
     """Backward as-of join via union + last(ignorenulls) window — one
     shuffle, no Python. At equal timestamps the right row sorts first, so
     matches are inclusive (right.ts <= left.ts), identical to DuckDB
-    ASOF JOIN semantics."""
+    ASOF JOIN semantics. Duplicate (entity, ts) right rows tie-break to
+    the greatest payload tuple — the ordering includes the payload
+    columns, so the match is deterministic and agrees with the other
+    strategies' struct-max contract (all fill columns come from the SAME
+    winning row)."""
     by_l = _as_list(by)
     rcols = _as_list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by_l) | {on}
@@ -382,7 +386,7 @@ def asof_join_window(
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(*by_l)
-        .orderBy(on, "_tag")
+        .orderBy(on, "_tag", *[f"_r_{c}" for c in rcols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

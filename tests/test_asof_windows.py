@@ -625,6 +625,9 @@ def test_asof_duplicate_right_ts_tie_break(spark):
     for fn in (asof_join_broadcast, asof_join_cogroup):
         check(fn(ldf, rdf, on="ts", by="entity_id", direction="forward"), want_fwd)
         check(fn(ldf, rdf, on="ts", by="entity_id", direction="backward"), want_bwd)
+    # window strategy (backward-only): payload columns in the window
+    # ordering pin the duplicate-ts tie-break to struct-max
+    check(asof_join_window(ldf, rdf, on="ts", by="entity_id"), want_bwd)
 
 
 def test_asof_interpolate_manual_and_parity(spark):
@@ -896,3 +899,54 @@ def test_gaussian_time_smooth_hand_values(spark):
     assert gaussian_time_smooth(
         dup, by="entity_id", ts="ts", value="v", sigma=sigma
     ).count() == 2
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_asof_strategy_direction_matrix(spark, seed):
+    """All physical strategies implement identical semantics: for random
+    frames (duplicate timestamps included), bucketed (2 widths),
+    broadcast, and cogroup agree pairwise on backward / forward / nearest
+    / interpolate; window agrees on backward."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 250, 80
+    left = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 8, n_l).astype(np.int64),
+            "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+            "lval": np.arange(n_l, dtype=np.float64),
+        }
+    ).drop_duplicates(["entity_id", "ts"])
+    right = pd.DataFrame(
+        {
+            "entity_id": rng.integers(0, 9, n_r).astype(np.int64),
+            "ts": rng.integers(0, 10_000, n_r).astype(np.int64),
+            "rval": rng.normal(size=n_r),
+        }
+    )  # duplicates kept on purpose
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    def key(df):
+        p = df.toPandas().sort_values(["entity_id", "ts", "lval"]).reset_index(drop=True)
+        return list(
+            zip(p.entity_id, p.ts, [None if pd.isna(v) else v for v in p.rval])
+        )
+
+    for direction in ("backward", "forward", "nearest", "interpolate"):
+        outs = [
+            key(asof_join(ldf, rdf, on="ts", by="entity_id",
+                          direction=direction, bucket_width=w))
+            for w in (500.0, 1_000_000.0)
+        ]
+        outs.append(key(asof_join_broadcast(ldf, rdf, on="ts", by="entity_id",
+                                            direction=direction)))
+        outs.append(key(asof_join_cogroup(ldf, rdf, on="ts", by="entity_id",
+                                          direction=direction)))
+        if direction == "backward":
+            outs.append(key(asof_join_window(ldf, rdf, on="ts", by="entity_id")))
+        for i, o in enumerate(outs[1:], 1):
+            assert o == outs[0], f"{direction}: variant {i} disagrees"

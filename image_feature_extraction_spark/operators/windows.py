@@ -126,17 +126,33 @@ def nearest_event_distance(
         tcol = tcol.cast("timestamp")
     td = tcol.cast("double")
     mts = F.when(marker, td)
-    wb = _w(by, [ts]).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = _w(by, [ts]).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # RANGE frames over the numeric time value, not ROWS over sort order:
+    # at duplicate timestamps a ROWS frame makes the answer depend on the
+    # unspecified tie order (a same-ts marker may sort after the current
+    # row and be missed); a value-range frame always includes ties, and
+    # every tied marker carries the same time value, so the result is
+    # order-independent by construction.
+    by_l = _as_list(by)
+    d = df.withColumn("_td", td)
+    wb = (
+        Window.partitionBy(*by_l)
+        .orderBy("_td")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by_l)
+        .orderBy("_td")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     prev = F.last(mts, ignorenulls=True).over(wb)
     nxt = F.first(mts, ignorenulls=True).over(wf)
     dist = F.least(
-        F.coalesce(td - prev, F.lit(float("inf"))),
-        F.coalesce(nxt - td, F.lit(float("inf"))),
+        F.coalesce(F.col("_td") - prev, F.lit(float("inf"))),
+        F.coalesce(nxt - F.col("_td"), F.lit(float("inf"))),
     )
-    return df.withColumn(
+    return d.withColumn(
         out_col, F.when(prev.isNotNull() | nxt.isNotNull(), dist)
-    )
+    ).drop("_td")
 
 
 def moving_aggregate(

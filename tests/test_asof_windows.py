@@ -950,3 +950,27 @@ def test_asof_strategy_direction_matrix(spark, seed):
             outs.append(key(asof_join_window(ldf, rdf, on="ts", by="entity_id")))
         for i, o in enumerate(outs[1:], 1):
             assert o == outs[0], f"{direction}: variant {i} disagrees"
+
+
+def test_nearest_event_distance_duplicate_ts(spark):
+    """A marker sharing the row's timestamp is distance 0 for EVERY row at
+    that timestamp, regardless of tie order (RANGE-frame semantics)."""
+    from image_feature_extraction_spark.operators.windows import (
+        nearest_event_distance,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1, 1, 1, 1],
+                "ts": [100.0, 100.0, 100.0, 250.0],
+                "kind": ["a", "marker", "b", "c"],
+            }
+        )
+    )
+    out = nearest_event_distance(
+        df, by="entity_id", ts="ts", marker=F.col("kind") == "marker"
+    ).toPandas()
+    got = {(r.kind): r.dist_to_marker for _, r in out.iterrows()}
+    assert got["a"] == 0.0 and got["b"] == 0.0 and got["marker"] == 0.0
+    assert got["c"] == 150.0

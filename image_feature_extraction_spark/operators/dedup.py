@@ -455,3 +455,20 @@ def embedding_neardup_pairs_bucketed(
     )
     # a pair found in several tables carries the identical rounded cosine
     return pairs.distinct()
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate survivor table: one row per distinct content hash,
+    keeping the minimum id (deterministic winner). One keyed shuffle on
+    the content hash; the survivor join back to full rows is a second
+    keyed join (done here via min-id struct packing to avoid it)."""
+    h = F.md5(F.col(content_col))
+    packed = df.withColumn("_h", h).withColumn(
+        "_pick", F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in df.columns])
+    )
+    return (
+        packed.groupBy("_h")
+        .agg(F.min("_pick").alias("_w"), F.count(F.lit(1)).alias("n_copies"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in df.columns], "n_copies")
+    )

@@ -616,13 +616,10 @@ _register(
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup via content hash (md5 of text): survivors = min doc_id
-    per hash; returns per-source unique/total counts."""
+    """Exact dedup via content hash (md5 of text): per-source unique/total
+    counts (the survivor table itself is dedup.exact_dedup, pytest-gated)."""
     d = _t(spark, sf_dir, "documents")
     hashed = d.select("source", "doc_id", F.md5(F.col("text")).alias("h"))
-    survivors = hashed.groupBy("h").agg(
-        F.min("doc_id").alias("keep_id"), F.first("source").alias("_src")
-    )
     per_src = hashed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("h").alias("n_unique"),

@@ -326,3 +326,14 @@ def test_xxhash64_fast_path_structure(spark, docs):
         if len(ids) > 1 and all(i in sig_m.index for i in ids):
             rows = sig_m.loc[ids]
             assert (rows.nunique() == 1).all()
+
+
+def test_exact_dedup_survivors(spark, docs):
+    out = D.exact_dedup(docs).toPandas()
+    pdf = docs.toPandas()
+    # one survivor per distinct text, and it's the min doc_id
+    assert len(out) == pdf["text"].nunique()
+    want_keep = pdf.groupby("text")["doc_id"].min().sort_values().tolist()
+    assert sorted(out["doc_id"]) == sorted(want_keep)
+    # copy counts add back up to the corpus size
+    assert out["n_copies"].sum() == len(pdf)

@@ -128,3 +128,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
         xor_expr.cast("long").alias("xor_hash"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (simplified: no unicode categories —
+# ASCII classes keep Spark's and DuckDB's regex dialects in exact
+# agreement): contractions, optionally-space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc BPE-ish token count: matches of the GPT-2-style
+    pre-tokenizer regex, minus pure-whitespace matches (a BPE vocabulary
+    merges within pre-tokens, so the pre-token count is the standard
+    upper-bound proxy for the real token count without shipping a
+    vocabulary). Also emits the whitespace word count for the classic
+    tokens-per-word fertility ratio."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(f"({BPE_PRETOKEN_PATTERN})"))
+    nonspace = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    w = words_of(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(nonspace).alias("n_bpe_tokens"),
+        F.size(w).alias("n_words"),
+        (F.size(nonspace).cast("double") / F.size(w).cast("double")).alias(
+            "fertility"
+        ),
+    )

@@ -418,6 +418,32 @@ def _langid_sql() -> str:
 _register("q_text_langid", q_text_langid, _langid_sql())
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (GPT-2-style regex, ASCII classes so
+    both engines' regex dialects agree exactly) + fertility ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return T.bpe_token_count(d).orderBy("doc_id")
+
+
+def _bpe_sql() -> str:
+    pat = T.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_extract_all(text, '({pat})'),
+                             t -> NOT regexp_full_match(t, '\\s+'))) AS n_bpe,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, n_bpe::INT AS n_bpe_tokens, n_words::INT AS n_words,
+           n_bpe::DOUBLE / n_words::DOUBLE AS fertility
+    FROM toks ORDER BY doc_id
+    """
+
+
+_register("q_text_bpe_tokens", q_text_bpe_tokens, _bpe_sql())
+
+
 def q_text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.fingerprint(d, n=3).orderBy("doc_id")

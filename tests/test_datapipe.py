@@ -337,3 +337,22 @@ def test_exact_dedup_survivors(spark, docs):
     assert sorted(out["doc_id"]) == sorted(want_keep)
     # copy counts add back up to the corpus size
     assert out["n_copies"].sum() == len(pdf)
+
+
+def test_bpe_token_count_hand(spark):
+    df = spark.createDataFrame(
+        [("d1", "don't stop, it's 42 tokens-ish!")], "doc_id string, text string"
+    )
+    out = T.bpe_token_count(df).collect()[0]
+    # don | 't | stop | , | it | 's | 42 | tokens | -ish... let's count via
+    # the same regex in python for an independent cross-check
+    import re
+
+    toks = [
+        t for t in re.findall(f"({T.BPE_PRETOKEN_PATTERN})",
+                              "don't stop, it's 42 tokens-ish!")
+        if not t.isspace()
+    ]
+    assert out.n_bpe_tokens == len(toks)
+    assert out.n_words == 5
+    assert out.fertility == out.n_bpe_tokens / 5.0

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_long, words_of
+from .dedup import content_hash, words_of
 
 # Marker stopwords per language for the n-gram/stopword-hit language-ID
 # heuristic. Deterministic tie-break: highest hits, then language asc;

@@ -16,14 +16,14 @@ the same constants the Spark operators use, so the two sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..operators import windows as W
-from .queries import ORACLE_SQL, QUERIES, _register, _t
+from .queries import _register, _t
 
 MD5L = "('0x'||substr(md5({x}),1,8))::BIGINT"
 

@@ -151,7 +151,12 @@ def asof_join(
 
     direction="interpolate" (reference N8: linear interpolation between
     grid samples, tools/Resample.cxx:83-99, ExtractWindow.cxx:134-150)
-    lerps every right column between the backward and forward matches:
+    is a RESAMPLING mode: the forward bracket reads a later-timestamped
+    right row, so it is NOT leakage-free — use it for grid alignment /
+    signal reconstruction, never for training-feature generation (where
+    backward is the only safe direction; same caveat applies to
+    "forward" and "nearest"). It lerps every right column between the
+    backward and forward matches:
     value = vb + (vf - vb) * (t - tb) / (tf - tb), exact hits return the
     sample itself, and rows outside the right-side hull (no bracket on
     either side) return null — no extrapolation. Right columns must be

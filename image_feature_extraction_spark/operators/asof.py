@@ -68,12 +68,17 @@ def _dt_naive(series):
 
 
 def _ts_np_series(series):
-    """Pandas time/number series -> float64 epoch-seconds array."""
+    """Pandas time/number series -> float64 epoch-seconds array. Null/NaT
+    timestamps come back as NaN (astype int64 of NaT would silently give
+    int64-min, i.e. 'before everything' — a forward match on a null ts)."""
     import numpy as np
 
     series = _dt_naive(series)
     if np.issubdtype(series.dtype, np.datetime64):
-        return series.to_numpy().astype("datetime64[us]").astype(np.int64) / 1e6
+        arr = series.to_numpy().astype("datetime64[us]")
+        out = arr.astype(np.int64) / 1e6
+        out[np.isnat(arr)] = np.nan
+        return out
     return series.to_numpy(dtype=np.float64)
 
 
@@ -84,13 +89,20 @@ def _np_asof_match(rts, t, direction: str, tolerance):
     where ok — or (ok_mask, (bi, fi, frac)) for interpolate, where the
     output value is vb + (vf - vb) * frac (exact hits give frac == 0).
     Shared by the broadcast and cogroup physical strategies so their
-    semantics cannot drift."""
+    semantics cannot drift.
+
+    A NaN left timestamp never matches (searchsorted would otherwise
+    place NaN after every right row — a spurious backward match against
+    the LAST right row, violating the leakage contract). Callers must
+    keep NaN out of rts (right rows with null ts are dropped at index
+    build)."""
     import numpy as np
 
+    t_ok = ~np.isnan(t)
     back = np.searchsorted(rts, t, side="right") - 1
     if direction == "interpolate":
         fwd = np.searchsorted(rts, t, side="left")
-        ok = (back >= 0) & (fwd < len(rts))
+        ok = t_ok & (back >= 0) & (fwd < len(rts))
         bi = np.clip(back, 0, None)
         fi = np.clip(fwd, 0, len(rts) - 1)
         tb, tf = rts[bi], rts[fi]
@@ -115,6 +127,7 @@ def _np_asof_match(rts, t, direction: str, tolerance):
     if tolerance is not None:
         dist = np.where(sel >= 0, np.abs(t - rts[np.clip(sel, 0, None)]), np.inf)
         sel = np.where(dist <= tolerance, sel, -1)
+    sel = np.where(t_ok, sel, -1)
     return sel >= 0, sel
 
 
@@ -191,7 +204,13 @@ def asof_join(
         F.col(on).alias(P + on),
         *[F.col(c).alias(P + c) for c in rcols],
     )
-    rf = right2.withColumn("_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long"))
+    # null right timestamps are unmatchable (every direction compares
+    # against them); left rows with null ts land in the null bucket and,
+    # with no right rows there, come back unmatched — consistent across
+    # all strategies
+    rf = right2.where(F.col("_ts_d").isNotNull()).withColumn(
+        "_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long")
+    )
     r_by = [P + c for c in by_l]
     r_on = P + on
     r_rcols = [P + c for c in rcols]
@@ -359,11 +378,14 @@ def asof_join_window(
     """Backward as-of join via union + last(ignorenulls) window — one
     shuffle, no Python. At equal timestamps the right row sorts first, so
     matches are inclusive (right.ts <= left.ts), identical to DuckDB
-    ASOF JOIN semantics. Duplicate (entity, ts) right rows tie-break to
-    the greatest payload tuple — the ordering includes the payload
-    columns, so the match is deterministic and agrees with the other
-    strategies' struct-max contract (all fill columns come from the SAME
-    winning row)."""
+    ASOF JOIN semantics.
+
+    The right payload travels as ONE struct, so all fill columns come
+    from the same winning row even when that row has null fields (per-
+    column fills could mix rows); duplicate (entity, ts) right rows
+    tie-break to the greatest payload struct (struct comparison, null
+    fields smallest) — the same contract as the other strategies. Right
+    rows with a null timestamp are unmatchable and dropped."""
     by_l = _as_list(by)
     rcols = _as_list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by_l) | {on}
@@ -372,26 +394,31 @@ def asof_join_window(
     right_on_out = f"{on}{suffix}" if include_right_on else None
 
     lkeep = [c for c in left.columns if c not in set(by_l) | {on}]
+    pay = F.struct(
+        F.col(on).alias("_p_on"), *[F.col(c).alias(c) for c in rcols]
+    )
     l2 = left.select(
         *by_l,
         F.col(on),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in lkeep],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+        F.lit(None)
+        .cast(
+            right.select(pay.alias("_p")).schema["_p"].dataType
+        )
+        .alias("_p"),
     )
-    r2 = right.select(
+    r2 = right.where(F.col(on).isNotNull()).select(
         *by_l,
         F.col(on),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lkeep],
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
-        F.col(on).alias("_r_on"),
+        pay.alias("_p"),
     )
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(*by_l)
-        .orderBy(on, "_tag", *[f"_r_{c}" for c in rcols])
+        .orderBy(on, "_tag", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -399,38 +426,27 @@ def asof_join_window(
         F.col(on),
         "_tag",
         *lkeep,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in rcols
-        ],
-        F.last("_r_on", ignorenulls=True).over(w).alias("_f_on"),
+        F.last("_p", ignorenulls=True).over(w).alias("_f"),
     ).where(F.col("_tag") == 1)
 
+    match = F.col("_f")
     if tolerance is not None:
         from pyspark.sql.types import TimestampNTZType
 
-        lc, rc = F.col(on), F.col("_f_on")
+        lc, rc = F.col(on), F.col("_f._p_on")
         if isinstance(left.schema[on].dataType, TimestampNTZType):
             lc = lc.cast("timestamp")
         if isinstance(right.schema[on].dataType, TimestampNTZType):
             rc = rc.cast("timestamp")
         within = (lc.cast("double") - rc.cast("double")) <= F.lit(float(tolerance))
-        filled = filled.select(
-            *by_l,
-            F.col(on),
-            *lkeep,
-            *[
-                F.when(within, F.col(f"_f_{c}")).alias(f"_f_{c}")
-                for c in rcols
-            ],
-            F.when(within, F.col("_f_on")).alias("_f_on"),
-        )
+        match = F.when(within, F.col("_f"))
 
+    filled = filled.withColumn("_m", match)
     sel = [F.col(c) for c in left.columns] + [
-        F.col(f"_f_{c}").alias(oc) for c, oc in zip(rcols, out_rnames)
+        F.col(f"_m.{c}").alias(oc) for c, oc in zip(rcols, out_rnames)
     ]
     if right_on_out:
-        sel.append(F.col("_f_on").alias(right_on_out))
+        sel.append(F.col("_m._p_on").alias(right_on_out))
     return filled.select(*sel)
 
 
@@ -495,12 +511,16 @@ def asof_join_broadcast(
         )
 
     index: dict = {}
+    # right rows with a null timestamp are unmatchable — drop them before
+    # the index build (NaN in a sorted array corrupts searchsorted)
+    rp = rp[rp[on].notna()]
     if len(rp):
         # secondary sort on the payload columns: among duplicate right
         # timestamps, backward deterministically matches the greatest
         # payload and forward the least — same contract as the bucketed
-        # strategy's struct-max/min
-        rp = rp.sort_values([*by_l, on, *rcols], kind="stable")
+        # strategy's struct-max/min; na_position='first' makes a null
+        # payload the SMALLEST tuple, matching Spark struct ordering
+        rp = rp.sort_values([*by_l, on, *rcols], kind="stable", na_position="first")
         for key, grp in rp.groupby(by_l, sort=False):
             k = key if isinstance(key, tuple) else (key,)
             payload = {
@@ -679,10 +699,17 @@ def asof_join_cogroup(
             for c, oc in gather_cols:
                 out[oc] = _alloc(n, None)
             return out[out_names]
-        # same duplicate-ts contract as the broadcast index build
+        # same duplicate-ts contract as the broadcast index build (null ts
+        # rows unmatchable; null payload = smallest tuple, like struct-max)
+        rp = rp[rp[RP + on].notna()]
+        if len(rp) == 0:
+            for c, oc in gather_cols:
+                out[oc] = _missing_col(n, pd.Series(dtype=object))
+            return out[out_names]
         rp = rp.sort_values(
             [*[RP + c for c in by_l], RP + on, *[RP + c for c in rcols]],
             kind="stable",
+            na_position="first",
         )
         payload = {
             c: (

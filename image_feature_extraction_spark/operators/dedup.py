@@ -336,7 +336,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     n_probe = df.limit(max_broadcast_rows + 1).count()
     if n_probe > max_broadcast_rows:
         return embedding_neardup_pairs_bucketed(
-            df, vec_col=vec_col, id_col=id_col, threshold=threshold
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=None
         )
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     rows = rows.sort_values("id", kind="stable").reset_index(drop=True)
@@ -386,7 +386,7 @@ def embedding_neardup_pairs_bucketed(
     threshold: float = 0.48,
     n_planes: int = 3,
     n_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     block_rows: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup at corpus sizes above broadcast: multi-table
@@ -411,6 +411,14 @@ def embedding_neardup_pairs_bucketed(
 
     from .similarity import _table_buckets
 
+    if dim is None:
+        # dim must match the vectors: a wrong dim makes every hyperplane
+        # dot null -> every row lands in bucket 0 -> one all-pairs task
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            dim = 1  # empty corpus; any value works
+        else:
+            dim = int(first["d"])
     b = _table_buckets(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         n_tables, n_planes, dim, "_v",

@@ -78,12 +78,18 @@ def _cosine_blas_udf():
     def cos(qa: pd.Series, cb: pd.Series) -> pd.Series:
         if not len(qa):
             return pd.Series(dtype="float64")
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qa])
-        C = np.stack([np.asarray(v, dtype=np.float64) for v in cb])
-        dot = np.einsum("ij,ij->i", Q, C)
-        nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-        nc = np.sqrt(np.einsum("ij,ij->i", C, C))
-        return pd.Series(dot / (nq * nc))
+        # null vectors -> null cosine (the Catalyst path's behavior);
+        # np.stack over a batch containing None would raise instead
+        ok = qa.notna().to_numpy() & cb.notna().to_numpy()
+        out = np.full(len(qa), np.nan)
+        if ok.any():
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in qa[ok]])
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in cb[ok]])
+            dot = np.einsum("ij,ij->i", Q, C)
+            nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            nc = np.sqrt(np.einsum("ij,ij->i", C, C))
+            out[ok] = dot / (nq * nc)
+        return pd.Series(out)
 
     return cos
 
@@ -151,10 +157,13 @@ def _table_buckets(df: DataFrame, n_tables, n_planes, dim, vec_col,
     tables*planes) coefficient matrix — the production hot path. Same
     sign decisions except a dot within ~1 ulp of exactly 0 (probability
     ~1e-13 per dot for random embeddings).
+
+    Rows with a null vector are excluded from every table (they have no
+    bucket; the previous sql behavior silently put them in bucket 0).
     """
     from ..session import widen_small_scan
 
-    df = widen_small_scan(df)
+    df = widen_small_scan(df).where(F.col(vec_col).isNotNull())
     if method == "blas":
         return _table_buckets_blas(df, n_tables, n_planes, dim, vec_col)
     out = df
@@ -218,6 +227,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     rescore: str = "sql",
+    bucketing: str | None = None,
 ) -> DataFrame:
     """Approximate top-k with MULTI-TABLE hyperplane LSH: candidates are
     the union over `n_tables` independent tables of same-bucket matches
@@ -233,12 +243,22 @@ def lsh_topk(
     numpy einsum (pandas_udf) — same math up to summation order, the
     production hot path (measured speedup in BENCH).
 
+    bucketing independently selects the candidate-generation method
+    (defaults to follow `rescore`, which is where the measured 5.6x
+    mostly comes from). NOTE: blas bucketing can flip a hyperplane sign
+    when a dot sits within ~1 ulp of exactly 0 (~1e-13 probability per
+    dot), changing the candidate set vs the sql oracle; pass
+    bucketing="sql", rescore="blas" for oracle-identical candidates with
+    a fast rescore.
+
     Output: (query_id, rank, neighbor_id, cosine)."""
     assert rescore in ("sql", "blas")
+    bucketing = bucketing or rescore
+    assert bucketing in ("sql", "blas")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-    cb = _table_buckets(c, n_tables, n_planes, dim, "_cv", method=rescore)
-    qb = _table_buckets(q, n_tables, n_planes, dim, "_qv", method=rescore)
+    cb = _table_buckets(c, n_tables, n_planes, dim, "_cv", method=bucketing)
+    qb = _table_buckets(q, n_tables, n_planes, dim, "_qv", method=bucketing)
     # Dedup on IDS ONLY — running distinct over rows that carry the
     # vectors would shuffle every embedding n_tables times; the vectors
     # are joined back once per unique candidate pair instead.

@@ -283,12 +283,14 @@ def gaussian_time_smooth(
     ).withColumn("_bk", F.floor(F.col("_rt") / F.lit(B)).cast("long"))
     cond = F.col("probe._bk") == F.col("build._bk")
     for c in by_l:
-        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
-    # every probe row self-matches (same bucket, dt=0), so the inner join
-    # preserves row count
-    joined = probe.alias("probe").join(build.alias("build"), cond).where(
-        F.abs(F.col("_t") - F.col("_rt")) <= F.lit(B)
-    )
+        # null-safe: rows with a null entity key still self-match
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    # every non-null-ts probe row self-matches (same bucket, dt=0), so the
+    # inner join preserves their count; null-ts rows (null bucket key)
+    # bypass the join entirely and come back with a null smoothed value
+    joined = probe.where(F.col("_t").isNotNull()).alias("probe").join(
+        build.alias("build"), cond
+    ).where(F.abs(F.col("_t") - F.col("_rt")) <= F.lit(B))
     w = F.exp(
         -((F.col("_t") - F.col("_rt")) * (F.col("_t") - F.col("_rt")))
         / F.lit(2.0 * float(sigma) * float(sigma))
@@ -300,7 +302,11 @@ def gaussian_time_smooth(
         F.sum(w_obs * F.coalesce(F.col("_rv"), F.lit(0.0))).alias("_num"),
         F.sum(w_obs).alias("_den"),
     )
-    return agg.select(
+    smoothed = agg.select(
         *df.columns,
         F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")).alias(out_col),
     )
+    null_ts = probe0.where(F.col("_t").isNull()).select(
+        *df.columns, F.lit(None).cast("double").alias(out_col)
+    )
+    return smoothed.unionByName(null_ts)

@@ -101,7 +101,9 @@ def read_text_matrix(
     idx = lines.select(
         (F.row_number().over(w) - 1).cast("long").alias("row_idx"), "value"
     )
-    toks = F.split(F.trim("value"), col_sep)
+    # \Q...\E: col_sep is a LITERAL separator (F.split takes a regex; an
+    # unquoted '|' or '.' would split between every character)
+    toks = F.split(F.trim("value"), "\\Q" + col_sep + "\\E")
     vals = F.transform(toks, lambda x: F.trim(x).try_cast("double"))
     parsed = idx.select(
         "row_idx",
@@ -213,13 +215,20 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
         "value",
         "_k",
     )
-    n_tok = vol.count()
+    counts = vol.agg(
+        F.count(F.lit(1)).alias("n_tok"), F.count("value").alias("n_parsed")
+    ).first()
+    n_tok, n_parsed = counts["n_tok"], counts["n_parsed"]
     if n_tok != sx * sy * sz:
         raise ValueError(
             f"Not enough values in file: got {n_tok}, want {sx * sy * sz}"
             if n_tok < sx * sy * sz
             else f"Too many values in file: got {n_tok}, want {sx * sy * sz}"
         )
+    if n_parsed != n_tok:
+        # try_cast nulls garbled tokens; loading them as null voxels would
+        # silently corrupt the volume — raise like the reference reader
+        raise ValueError(f"{n_tok - n_parsed} unparseable values in file")
     return header, vol.drop("_k")
 
 

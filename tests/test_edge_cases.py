@@ -3,6 +3,7 @@ docs with fewer words than the shingle width."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from image_feature_extraction_spark import synth
@@ -151,3 +152,161 @@ def test_embedding_bucketed_tiny_inputs(spark):
     )
     rows = D.embedding_neardup_pairs_bucketed(e2, threshold=0.9, dim=4).collect()
     assert len(rows) == 1 and rows[0].id_a == 1 and rows[0].cosine == 1.0
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Review regression: a null left ts must never match (searchsorted on
+    NaN would 'match' the last right row), identically across strategies;
+    null right ts rows are unmatchable."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [20.0, None], "lv": [1.0, 2.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [10.0, None], "rv": [5.0, 9.0]})
+    )
+    for fn, kw in (
+        (asof_join, {"bucket_width": 100.0}),
+        (asof_join_window, {}),
+        (asof_join_broadcast, {}),
+        (asof_join_cogroup, {}),
+    ):
+        out = fn(left, right, on="ts", by="entity_id", **kw).toPandas()
+        assert len(out) == 2, fn.__name__
+        got = {r["lv"]: r["rv"] for _, r in out.iterrows()}
+        assert got[1.0] == 5.0, fn.__name__          # normal match
+        assert pd.isna(got[2.0]), fn.__name__        # null ts -> no match
+    # timestamp-typed null ts through broadcast/cogroup (NaT path)
+    lp = pd.DataFrame(
+        {
+            "entity_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:20", None]),
+            "lv": [1.0, 2.0],
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "entity_id": [1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:10"]),
+            "rv": [5.0],
+        }
+    )
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        out = fn(
+            spark.createDataFrame(lp), spark.createDataFrame(rp),
+            on="ts", by="entity_id", direction="forward",
+        ).toPandas()
+        got = {r["lv"]: r["rv"] for _, r in out.iterrows()}
+        assert pd.isna(got[2.0]), fn.__name__  # NaT must not match FIRST row
+
+
+def test_asof_null_payload_tie_break_parity(spark):
+    """Duplicate right ts where one payload is null: every strategy picks
+    the non-null (greatest) payload for backward."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [20.0], "lv": [0.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [10.0, 10.0], "rv": [None, 5.0]})
+    )
+    for fn, kw in (
+        (asof_join, {"bucket_width": 100.0}),
+        (asof_join_window, {}),
+        (asof_join_broadcast, {}),
+        (asof_join_cogroup, {}),
+    ):
+        out = fn(left, right, on="ts", by="entity_id", **kw).toPandas()
+        assert out["rv"].iloc[0] == 5.0, fn.__name__
+
+
+def test_asof_window_fill_single_winning_row(spark):
+    """The winning right row's null field must stay null — per-column
+    fills would substitute the value from an EARLIER row (frankenrow)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [25.0], "lv": [0.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1, 1],
+                "ts": [10.0, 20.0],
+                "a": [1.0, 3.0],
+                "b": [2.0, None],
+            }
+        )
+    )
+    out = asof_join_window(left, right, on="ts", by="entity_id").toPandas()
+    assert out["a"].iloc[0] == 3.0
+    assert pd.isna(out["b"].iloc[0])  # NOT 2.0 from the ts=10 row
+
+
+def test_gaussian_smooth_null_ts_and_entity(spark):
+    from image_feature_extraction_spark.operators.windows import (
+        gaussian_time_smooth,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1.0, 1.0, None],
+                "ts": [10.0, None, 30.0],
+                "v": [5.0, 6.0, 7.0],
+            }
+        )
+    )
+    out = gaussian_time_smooth(
+        df, by="entity_id", ts="ts", value="v", sigma=10.0
+    ).toPandas()
+    assert len(out) == 3  # no silent row drops
+    got = {r["v"]: r["smoothed"] for _, r in out.iterrows()}
+    assert got[5.0] == pytest.approx(5.0)  # only observed neighbor: itself
+    assert pd.isna(got[6.0])               # null ts -> null smoothed
+    assert got[7.0] == pytest.approx(7.0)  # null entity still self-matches
+
+
+def test_text_matrix_literal_separator(spark, tmp_path):
+    p = tmp_path / "pipe.csv"
+    p.write_text("1|2|3\n4|5|6\n")
+    from image_feature_extraction_spark.sources import textual as TX
+
+    out = TX.read_text_matrix(spark, str(p), col_sep="|").toPandas()
+    assert out["_invalid"].isna().all()
+    assert sorted(out["n_cols"]) == [3, 3]
+
+
+def test_octave_garbled_token_raises(spark, tmp_path):
+    from image_feature_extraction_spark.sources import textual as TX
+
+    p = tmp_path / "garbled.mat"
+    p.write_text("# c\n# name: v\n# type: matrix\n# ndims: 3\n 2 1 1\n1.0 1.2e+x\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        TX.read_octave_volume(spark, str(p))
+
+
+def test_lsh_null_vectors_and_blas_guard(spark):
+    from image_feature_extraction_spark.operators import similarity as S2
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[1.0, 0.0], [0.9, 0.1], None, [0.0, 1.0]],
+        }
+    )
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for kw in ({}, {"rescore": "blas"}, {"rescore": "blas", "bucketing": "sql"}):
+        out = S2.lsh_topk(e, q, k=3, n_planes=2, n_tables=2, dim=2, **kw).toPandas()
+        # the null-vector row is excluded, never crashes the job
+        assert 3 not in set(out["neighbor_id"])
+        assert len(out) >= 1

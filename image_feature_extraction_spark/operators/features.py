@@ -98,7 +98,7 @@ def extract_features(
 # equalized histogram edges per (scale, feature).
 # ---------------------------------------------------------------------------
 
-_LONG_SCHEMA = "scale_idx int, feature_idx int, value double"
+_LONG_SCHEMA = "scale_idx int, feature_idx int, value double, salt long"
 
 
 def sample_feature_values(
@@ -110,23 +110,37 @@ def sample_feature_values(
     tokens_col: str = "tokens",
 ) -> DataFrame:
     """Long-format sample of per-cell feature values: (scale_idx,
-    feature_idx, value). Mirrors the reference's random-iterator sampling
-    (DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:236-262):
-    sample docs, then sample foreground cells within each doc.
+    feature_idx, value, salt). Mirrors the reference's random-iterator
+    sampling (DetermineHistogramBinEdges_MultiScaleEigenvalueFeatures.cxx:
+    236-262): sample docs, then sample foreground cells within each doc.
 
-    Deterministic: cell choice is seeded per doc via a stable hash.
+    Deterministic and PARTITION-INVARIANT: the per-doc cell-choice seed
+    comes from doc_id when present, else from a hash of the token CONTENT
+    (never a batch-local index, which would change with partitioning).
+    `salt` is a row-unique deterministic value (doc seed ^ cell index) so
+    downstream caps can order rows uniformly — ordering on the value alone
+    would keep whole duplicate-value blocks.
+
+    One pandas DataFrame per BATCH (flat numpy accumulation), not one per
+    (doc, scale, feature).
     """
     scales_t = tuple(float(s) for s in scales)
     sampled = df.sample(fraction=doc_fraction, seed=seed) if doc_fraction < 1.0 else df
+    nf = K.NUM_FEATURES
 
     def fn(batches):
         import hashlib
 
         for pdf in batches:
-            frames = []
             toks_list = [np.asarray(t) for t in pdf[tokens_col]]
-            doc_ids = pdf["doc_id"].tolist() if "doc_id" in pdf else [str(i) for i in range(len(pdf))]
-            for toks, did in zip(toks_list, doc_ids):
+            if "doc_id" in pdf:
+                doc_keys = pdf["doc_id"].tolist()
+            else:
+                doc_keys = [
+                    hashlib.md5(t.tobytes()).hexdigest() for t in toks_list
+                ]
+            si_a, fi_a, val_a, salt_a = [], [], [], []
+            for toks, did in zip(toks_list, doc_keys):
                 img, cert = K.pad_to_cube(toks)
                 fg = np.flatnonzero(cert.reshape(-1))
                 if len(fg) == 0:
@@ -137,21 +151,24 @@ def sample_feature_values(
                 rng = np.random.Generator(np.random.PCG64(dseed))
                 take = min(cells_per_doc, len(fg))
                 chosen = rng.choice(fg, size=take, replace=False)
+                salts = (np.int64(dseed & ((1 << 62) - 1)) ^ chosen).astype(np.int64)
                 for si, sigma in enumerate(scales_t):
                     feats = K.emphysema_features(img, cert, sigma)
-                    flat = feats.reshape(-1, K.NUM_FEATURES)[chosen]
-                    for fi in range(K.NUM_FEATURES):
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "scale_idx": si,
-                                    "feature_idx": fi,
-                                    "value": flat[:, fi].astype(np.float64),
-                                }
-                            )
-                        )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                    flat = feats.reshape(-1, nf)[chosen]
+                    # feature-major flatten: rows for fi=0 first, etc.
+                    si_a.append(np.full(take * nf, si, dtype=np.int32))
+                    fi_a.append(np.repeat(np.arange(nf, dtype=np.int32), take))
+                    val_a.append(np.asarray(flat.T.reshape(-1), dtype=np.float64))
+                    salt_a.append(np.tile(salts, nf))
+            if si_a:
+                yield pd.DataFrame(
+                    {
+                        "scale_idx": np.concatenate(si_a),
+                        "feature_idx": np.concatenate(fi_a),
+                        "value": np.concatenate(val_a),
+                        "salt": np.concatenate(salt_a),
+                    }
+                )
 
     return sampled.mapInPandas(fn, _LONG_SCHEMA)
 
@@ -170,11 +187,18 @@ def compute_equalized_edges(
 
     Returns edges ndarray (n_scales, NUM_FEATURES, n_bins - 1).
     """
-    # cap rows per key deterministically before collecting
+    # cap rows per key deterministically before collecting. The ordering
+    # hashes the ROW-UNIQUE salt (not just the value): ordering on the
+    # value alone keeps whole duplicate-value blocks together, so a
+    # heavily-duplicated low-hash value could fill the entire cap and
+    # bias the edges; hashing the salt gives a uniform row sample.
     from pyspark.sql import Window
 
+    order_cols = (
+        ["value", "salt"] if "salt" in values_long.columns else ["value"]
+    )
     w = Window.partitionBy("scale_idx", "feature_idx").orderBy(
-        F.xxhash64("value", F.lit(17))
+        F.xxhash64(*order_cols, F.lit(17))
     )
     capped = (
         values_long.withColumn("rn", F.row_number().over(w))

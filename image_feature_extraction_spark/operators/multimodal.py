@@ -85,6 +85,13 @@ def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
 
 
 def _real_decode(payload: bytes, modality: str) -> np.ndarray:
+    """The real-codec boundary, stubbed in two explicit layers: a missing
+    library raises naming the dependency; with the library PRESENT the
+    decode body itself is the documented stub (this container ships no
+    media libraries, so the body cannot be exercised here) — the marked
+    raise is where PIL/soundfile/PyAV decoding plugs in. The Spark-side
+    plumbing (schema, batching, payload passthrough) is real and tested
+    via the fake codec."""
     if modality == "image":
         try:
             from PIL import Image  # noqa: F401
@@ -93,6 +100,10 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
                 "real image decode requires Pillow (not in this container); "
                 "use decode_fn='fake' for plumbing tests"
             ) from e
+        raise NotImplementedError(
+            "image decode stub: wire PIL.Image.open(io.BytesIO(payload)) "
+            "-> resize -> channel stats here"
+        )
     if modality == "audio":
         try:
             import soundfile  # noqa: F401
@@ -100,6 +111,10 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
             raise NotImplementedError(
                 "real audio decode requires soundfile (not in this container)"
             ) from e
+        raise NotImplementedError(
+            "audio decode stub: wire soundfile.read(io.BytesIO(payload)) "
+            "-> spectral stats here"
+        )
     if modality == "video":
         try:
             import av  # noqa: F401
@@ -107,7 +122,11 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
             raise NotImplementedError(
                 "real video decode requires PyAV (not in this container)"
             ) from e
-    raise NotImplementedError(f"unknown modality {modality!r}")
+        raise NotImplementedError(
+            "video decode stub: wire av.open -> frame sample -> per-frame "
+            "image path here"
+        )
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def extract_multimodal_features(
@@ -122,14 +141,17 @@ def extract_multimodal_features(
 
     decode = _fake_decode if decode_fn == "fake" else _real_decode
     out_schema = StructType(
-        df.schema.fields + [StructField(output_col, ArrayType(DoubleType()), False)]
+        df.schema.fields + [StructField(output_col, ArrayType(DoubleType()), True)]
     )
 
     def fn(batches):
         for pdf in batches:
             out = pdf.copy()
+            # null payload (failed fetch) -> null features; one bad row
+            # must not kill the whole extraction job
             out[output_col] = [
-                decode(bytes(p), m) for p, m in zip(pdf["payload"], pdf["modality"])
+                None if p is None else decode(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield out
 

@@ -41,8 +41,16 @@ def exact_quantile_values(
 
     Returns one row per (keys..., edge_idx) with `edge_value` and the
     group size `n`.
+
+    Null values are excluded before ranking: Spark sorts NULLS FIRST
+    while the DuckDB oracle sorts them last, so including them would
+    shift every position engine-dependently (and edge_value could come
+    back null). n counts non-null values only. NaN still sorts greatest
+    in both engines (occupying top ranks) — filter NaN upstream if the
+    value column can contain it.
     """
     keys_l = _as_list(keys)
+    df = df.where(F.col(value).isNotNull())
     w = Window.partitionBy(*keys_l).orderBy(F.col(value).asc())
     wcnt = Window.partitionBy(*keys_l)
     ranked = df.select(

@@ -83,4 +83,8 @@ def salted_broadcast_left(
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    return b.join(s, [on, "_salt"]).drop("_salt")
+    # explicit broadcast: the replicated small side can exceed
+    # autoBroadcastJoinThreshold (size x salt_buckets), and falling back
+    # to a sort-merge join would shuffle the big side — the exact cost
+    # this helper exists to avoid
+    return b.join(F.broadcast(s), [on, "_salt"]).drop("_salt")

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from collections.abc import Callable
@@ -43,6 +44,22 @@ LEDGER_SCHEMA = (
     "unit string, status string, rows_out long, input_fingerprint string, "
     "wall_sec double, engine_version string, finished_at double"
 )
+
+
+_UNIT_NAME_OK = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_unit(unit: str) -> str:
+    """Unit names become filesystem paths (data/part=<unit>,
+    ledger/<unit>.json): a '/' would nest directories and corrupt the
+    part= partition round-trip, '=' would break partition parsing. Fail
+    fast instead."""
+    if not _UNIT_NAME_OK.match(unit):
+        raise ValueError(
+            f"unit name {unit!r} must match [A-Za-z0-9._-]+ "
+            "(it is used in partition paths and ledger filenames)"
+        )
+    return unit
 
 
 def _ledger_dir(out_dir: str) -> str:
@@ -100,7 +117,7 @@ def run_checkpointed(
     Returns {"ran": [...], "skipped": [...], "rows": total_rows}.
     """
     os.makedirs(_ledger_dir(out_dir), exist_ok=True)
-    todo = pending_units(spark, out_dir, [str(u) for u in units])
+    todo = pending_units(spark, out_dir, [_check_unit(str(u)) for u in units])
     skipped = [u for u in map(str, units) if u not in todo]
     total = 0
     for unit in todo:
@@ -138,9 +155,17 @@ def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     partial ``part=<unit>`` directory; "a unit is done only when its
     ledger row is durable" has to hold for READERS too, so the scan is
     filtered to ledger-complete units (partition pruning on the `part`
-    column — uncommitted directories are never touched)."""
+    column — uncommitted directories are never touched). Raises a clear
+    error before any run has completed — with no completed unit there is
+    no data to infer the output schema from (pass nothing and handle the
+    'no output yet' case at the call site)."""
     done = sorted(completed_units(spark, out_dir))
+    if not done:
+        raise ValueError(
+            f"read_output: no completed units in {out_dir!r} "
+            "(no run finished yet, or the ledger is empty)"
+        )
     df = spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
         os.path.join(out_dir, "data")
     )
-    return df.where(F.col("part").isin(*done) if done else F.lit(False))
+    return df.where(F.col("part").isin(*done))

@@ -62,7 +62,15 @@ def flagship_pipeline(spark, n_docs: int, stats=None, fused: bool = True):
     from image_feature_extraction_spark.functions import kernels as K
 
     # Broadcast per-source sorted stats index (ts ascending per source).
-    stats_pdf = stats.toPandas().sort_values(["source", "ts"], kind="stable")
+    # Payload columns participate in the sort so duplicate (source, ts)
+    # stats rows match the GREATEST payload deterministically — the same
+    # tie-break as asof_join_broadcast's index build (fused and unfused
+    # paths stay bit-identical even for non-unique stats keys).
+    stats_pdf = stats.toPandas().sort_values(
+        ["source", "ts", "bucket_docs", "bucket_mean_len"],
+        kind="stable",
+        na_position="first",
+    )
     index = {
         src: (
             grp["ts"].to_numpy(dtype=np.float64),

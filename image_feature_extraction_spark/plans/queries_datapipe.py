@@ -664,6 +664,7 @@ _register(
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) - 1 AS pos,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT event_type, (j - 1)::INT AS edge_idx, value AS edge_value, n
     FROM ranked, (VALUES (1), (2), (3)) AS t(j)

@@ -310,3 +310,98 @@ def test_lsh_null_vectors_and_blas_guard(spark):
         # the null-vector row is excluded, never crashes the job
         assert 3 not in set(out["neighbor_id"])
         assert len(out) >= 1
+
+
+def test_equalized_edges_cap_is_uniform_not_value_blocked(spark):
+    """Review regression: capping the edge sample must take a uniform row
+    sample, not whole blocks of one duplicated value."""
+    from image_feature_extraction_spark.operators.features import (
+        compute_equalized_edges,
+    )
+
+    rng = np.random.default_rng(0)
+    n_dup, n_uni = 4000, 4000
+    vals = np.concatenate([np.full(n_dup, 7.0), rng.uniform(0, 100, n_uni)])
+    pdf = pd.DataFrame(
+        {
+            "scale_idx": 0,
+            "feature_idx": 0,
+            "value": vals,
+            "salt": np.arange(len(vals), dtype=np.int64),
+        }
+    )
+    long_df = spark.createDataFrame(pdf)
+    edges = compute_equalized_edges(long_df, n_scales=1, n_bins=4, sample_cap=2000)
+    e = edges[0, 0]
+    # with a uniform sample ~half the rows are 7.0 and half spread over
+    # [0,100): the upper edges must NOT all collapse to 7.0
+    assert e[-1] > 7.0, e
+    # degenerate check: all three edges equal would mean the cap kept only
+    # the duplicated block
+    assert len(np.unique(e)) > 1, e
+
+
+def test_sample_feature_values_partition_invariant_without_doc_id(spark):
+    from image_feature_extraction_spark.operators.features import (
+        sample_feature_values,
+    )
+    from image_feature_extraction_spark import synth
+
+    base = synth.token_table(spark, 24).select("tokens")  # no doc_id
+
+    def collected(parts):
+        df = base.repartition(parts)
+        out = sample_feature_values(
+            df, scales=(1.0,), doc_fraction=1.0, cells_per_doc=8
+        ).toPandas()
+        return out.sort_values(["scale_idx", "feature_idx", "salt", "value"]).reset_index(
+            drop=True
+        )
+
+    a, b = collected(2), collected(7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_quantiles_ignore_nulls(spark):
+    from image_feature_extraction_spark.operators.quantiles import (
+        exact_quantile_values,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 8,
+            "v": [None, None, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    out = exact_quantile_values(
+        spark.createDataFrame(pdf), value="v", keys="k", n_bins=2
+    ).toPandas()
+    # n counts the 6 non-null values; the median position is value 4.0
+    assert out["n"].iloc[0] == 6
+    assert out["edge_value"].iloc[0] == 4.0
+
+
+def test_checkpoint_bad_unit_name_and_fresh_read(spark, tmp_path):
+    from image_feature_extraction_spark.plans import checkpoint as C
+
+    with pytest.raises(ValueError, match="unit name"):
+        C.run_checkpointed(spark, str(tmp_path / "x"), ["2024/01"], lambda s, u: None)
+    with pytest.raises(ValueError, match="no completed units"):
+        C.read_output(spark, str(tmp_path / "fresh"))
+
+
+def test_multimodal_null_payload_yields_null_features(spark):
+    from image_feature_extraction_spark.operators import multimodal as MM
+
+    df = MM.synth_multimodal(spark, 12)
+    from pyspark.sql import functions as FF
+
+    with_null = df.withColumn(
+        "payload",
+        FF.when(FF.col("doc_id") == df.select("doc_id").first()[0], None).otherwise(
+            FF.col("payload")
+        ),
+    )
+    out = MM.extract_multimodal_features(with_null, decode_fn="fake").toPandas()
+    assert len(out) == 12
+    assert out["mm_features"].isna().sum() == 1

@@ -72,7 +72,13 @@ def content_hash(col, hash_fn: str = "md5"):
 
 def words_of(text_col):
     """Whitespace tokenization, trim first (matches DuckDB
-    regexp_split_to_array(trim(x), '\\s+'))."""
+    regexp_split_to_array(trim(x), '\\s+')).
+
+    Known wart, identical in BOTH engines by construction: splitting an
+    empty/whitespace-only string yields [''] (one empty token), so empty
+    docs report n_words=1 in token/quality stats. Pre-filter empty docs
+    when that matters; changing it here would have to change every
+    mirrored oracle in lockstep."""
     return F.split(F.trim(text_col), r"\s+")
 
 

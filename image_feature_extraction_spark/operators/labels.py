@@ -37,7 +37,12 @@ def mode_label(
     dominant_count / total (float64 division of exact counts, identical
     across engines) against dominant_share."""
     by_l = [by] if isinstance(by, str) else list(by)
-    d = df
+    # null labels never vote: with a non-empty ignore list SQL NOT-IN
+    # three-valued logic would silently drop them anyway, and without one
+    # Spark's NULLS-FIRST asc tie-break would crown NULL the mode while
+    # the NULLS-LAST oracle disagrees — excluding them everywhere is the
+    # only consistent reading
+    d = df.where(F.col(label_col).isNotNull())
     if ignore:
         d = d.where(~F.col(label_col).isin(*ignore))
     counts = d.groupBy(*by_l, label_col).agg(F.count(F.lit(1)).alias("cnt"))

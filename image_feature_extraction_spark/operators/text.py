@@ -108,7 +108,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
 
     hash_fn: "md5" (DuckDB-oracle parity, default) or "xxhash64" (the
     codegen-native production path, no hex round-trip)."""
-    from .dedup import content_hash, shingles
+    from .dedup import shingles
 
     sh = shingles(df, text_col, n)
     h = sh.select("doc_id", content_hash(F.col("shingle"), hash_fn).alias("h"))

@@ -164,7 +164,9 @@ def moving_aggregate(
     out_prefix: str = "mov",
 ) -> DataFrame:
     """Trailing time-range moving aggregates (RANGE frame on the epoch
-    axis): count / sum / mean of `value` over (t - width, t] per entity —
+    axis): count / sum / mean of `value` over [t - width, t] (RANGE
+    PRECEDING frames are boundary-INCLUSIVE, in Spark and the DuckDB
+    oracle alike) per entity —
     the relational analog of Gaussian smoothing along the time axis
     (SmoothingRecursiveGaussian usage, SURVEY.md §2.3 N3), causal so
     leakage-free. Sum is computed on DECIMAL for cross-engine exactness."""

@@ -38,13 +38,22 @@ def get_spark(
         )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Under spark-submit (detected via the pre-launched JVM gateway env)
+    # the master comes from --master — setting one here would silently
+    # override a cluster master with local[N]. Only default to local[N]
+    # for plain-python launches, which have no other source of a master.
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_MASTER") or (
+        None if under_spark_submit else f"local[{cpus}]"
+    )
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -103,8 +112,11 @@ def widen_small_scan(df, target: int | None = None):
     580 KB parquet file -> 32 tasks, 7.9s -> 0.7s). The exchange moves
     only the small input. Inputs that already scan wide — the 100 TB
     case, where an extra exchange would be catastrophic — pass through
-    untouched (file count >= parallelism), as do non-file sources
-    (synth mapInArrow tables are already as wide as their range)."""
+    untouched: few-but-LARGE files still split into many scan tasks, so
+    the guard checks total BYTES against one split (maxPartitionBytes),
+    not just file count; unstattable paths (object stores without local
+    access) and non-file sources (synth mapInArrow tables) also pass
+    through untouched."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
@@ -113,4 +125,30 @@ def widen_small_scan(df, target: int | None = None):
         return df
     if not files or len(files) >= target:
         return df
+    max_split = int(
+        _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    )
+    try:
+        total = sum(
+            os.path.getsize(p[len("file:"):] if p.startswith("file:") else p)
+            for p in files
+        )
+    except OSError:
+        return df  # can't stat (remote store): assume Spark splits it
+    if total > max_split:
+        return df  # big enough to split into multiple scan tasks already
     return df.repartition(target)
+
+
+def _parse_bytes(v) -> float:
+    """'128m' / '128mb' / '1g' / plain-number byte-size conf values."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 2**10, "m": 2**20, "g": 2**30}[s[-1]]
+        s = s[:-1]
+    return float(s) * mult

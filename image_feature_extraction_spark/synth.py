@@ -80,6 +80,33 @@ TOKEN_TABLE_SCHEMA = (
 )
 
 
+def _gen_token_batches(batches):
+    """mapInArrow generator: first input column = doc indices."""
+    import pyarrow as pa
+
+    for rb in batches:
+        ids = rb.column(0).to_numpy()
+        rows = [doc_row(int(i)) for i in ids]
+        lens = np.fromiter((r["n_tok"] for r in rows), np.int32, len(rows))
+        offsets = np.zeros(len(rows) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        flat = (
+            np.concatenate([r["tokens"] for r in rows])
+            if rows
+            else np.empty(0, np.int32)
+        )
+        yield pa.record_batch(
+            [
+                pa.array([r["doc_id"] for r in rows], pa.string()),
+                pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
+                pa.array(lens, pa.int32()),
+                pa.array([r["source"] for r in rows], pa.string()),
+                pa.array(np.fromiter((r["ts"] for r in rows), np.int64, len(rows))),
+            ],
+            names=["doc_id", "tokens", "n_tok", "source", "ts"],
+        )
+
+
 def token_table(spark, n_docs: int, partitions: int | None = None):
     """Distributed deterministic token table: spark.range + mapInArrow.
 
@@ -90,33 +117,27 @@ def token_table(spark, n_docs: int, partitions: int | None = None):
     token arrays.
     """
     rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInArrow(_gen_token_batches, TOKEN_TABLE_SCHEMA)
 
-    def gen(batches):
-        import pyarrow as pa
 
-        for rb in batches:
-            ids = rb.column(0).to_numpy()
-            rows = [doc_row(int(i)) for i in ids]
-            lens = np.fromiter((r["n_tok"] for r in rows), np.int32, len(rows))
-            offsets = np.zeros(len(rows) + 1, dtype=np.int32)
-            np.cumsum(lens, out=offsets[1:])
-            flat = (
-                np.concatenate([r["tokens"] for r in rows])
-                if rows
-                else np.empty(0, np.int32)
-            )
-            yield pa.record_batch(
-                [
-                    pa.array([r["doc_id"] for r in rows], pa.string()),
-                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat)),
-                    pa.array(lens, pa.int32()),
-                    pa.array([r["source"] for r in rows], pa.string()),
-                    pa.array(np.fromiter((r["ts"] for r in rows), np.int64, len(rows))),
-                ],
-                names=["doc_id", "tokens", "n_tok", "source", "ts"],
-            )
+def token_table_for_ids(spark, ids, partitions: int | None = None):
+    """Token table for an EXPLICIT doc-index list. Use when a caller can
+    pre-select indices with the token-free `doc_meta` (e.g. one partition
+    unit's docs): generation cost is len(ids), not the whole corpus —
+    synthesizing everything and filtering afterward pays the token
+    generation for every discarded doc."""
+    import pandas as pd  # noqa: F401  (createDataFrame path)
 
-    return rng_df.mapInArrow(gen, TOKEN_TABLE_SCHEMA)
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in ids], "id long"
+    ).repartition(max(1, min(n_part, len(ids) or 1)))
+    return ids_df.mapInArrow(_gen_token_batches, TOKEN_TABLE_SCHEMA)
+
+
+def doc_ids_of_source(n_docs: int, source: str) -> list[int]:
+    """Doc indices belonging to one source unit, computed token-free."""
+    return [i for i in range(n_docs) if doc_meta(i)[2] == source]
 
 
 def token_table_pandas_from_ids(ids: np.ndarray) -> pd.DataFrame:

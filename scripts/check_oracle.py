@@ -27,8 +27,15 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Columns alphabetical; rows sorted with NON-float columns as the
+    primary keys (float-first sorting could misalign rows between engines
+    when a leading float differs by 1 ulp, turning an allclose-tolerable
+    delta into a spurious mismatch on the exact columns)."""
     df = df[sorted(df.columns)].copy()
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    keys = [c for c in df.columns if df[c].dtype.kind != "f"] + [
+        c for c in df.columns if df[c].dtype.kind == "f"
+    ]
+    return df.sort_values(keys, kind="stable").reset_index(drop=True)
 
 
 def wire_risks(df: pd.DataFrame) -> list[str]:
@@ -115,6 +122,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN QUERY NAMES: {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

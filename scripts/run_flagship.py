@@ -32,7 +32,6 @@ def main() -> None:
     scales = tuple(float(s) for s in args.scales.split(","))
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     # spark-submit owns master/deploy config; only job-level conf here.
     spark = (
@@ -53,8 +52,13 @@ def main() -> None:
 
     stats = flagship_stats(spark, args.docs)
 
+    # per-unit doc indices selected token-free (doc_meta) so each unit
+    # synthesizes ONLY its own docs — generating the full table per unit
+    # and filtering would pay 8x the token-generation cost
+    unit_ids = {u: synth.doc_ids_of_source(args.docs, u) for u in synth.SOURCES}
+
     def unit_job(spark_, unit):
-        docs = synth.token_table(spark_, args.docs).where(F.col("source") == unit)
+        docs = synth.token_table_for_ids(spark_, unit_ids[unit])
         joined = asof_join_broadcast(docs, stats, on="ts", by="source")
         return extract_features(joined, scales=scales)
 

@@ -184,7 +184,7 @@ def test_moving_aggregate_hand(spark):
         .toPandas()
         .sort_values("t")
     )
-    assert out["mov_n"].tolist() == [1, 2, 2]  # t=4000 window covers (400,4000]
+    assert out["mov_n"].tolist() == [1, 2, 2]  # t=4000 frame = [400, 4000] (RANGE inclusive)
     assert [float(x) for x in out["mov_mean"]] == [10.0, 15.0, 25.0]
 
 

@@ -405,3 +405,55 @@ def test_multimodal_null_payload_yields_null_features(spark):
     out = MM.extract_multimodal_features(with_null, decode_fn="fake").toPandas()
     assert len(out) == 12
     assert out["mm_features"].isna().sum() == 1
+
+
+def test_token_table_for_ids_matches_full_table(spark):
+    from image_feature_extraction_spark import synth
+
+    full = synth.token_table(spark, 40).toPandas().set_index("doc_id")
+    ids = synth.doc_ids_of_source(40, "src0")
+    sub = synth.token_table_for_ids(spark, ids).toPandas().set_index("doc_id")
+    assert set(sub.index) == {synth.doc_id_of(i) for i in ids}
+    assert (sub["source"] == "src0").all()
+    for did in sub.index:
+        np.testing.assert_array_equal(
+            np.asarray(sub.loc[did, "tokens"]), np.asarray(full.loc[did, "tokens"])
+        )
+    # empty id list -> empty frame, schema intact
+    empty = synth.token_table_for_ids(spark, [])
+    assert empty.count() == 0 and "tokens" in empty.columns
+
+
+def test_mode_label_null_labels_never_vote(spark):
+    from image_feature_extraction_spark.operators.labels import mode_label
+
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", None), ("g1", "a"), ("g2", None)],
+        "g string, label string",
+    )
+    out = mode_label(df, by="g", label_col="label").toPandas().set_index("g")
+    assert list(out.index) == ["g1"]  # g2 had only null labels -> no row
+    assert out.loc["g1", "mode_label"] == "a"
+    assert out.loc["g1", "n_considered"] == 1
+
+
+def test_widen_small_scan_skips_large_single_file(spark, tmp_path):
+    from image_feature_extraction_spark.session import widen_small_scan, _parse_bytes
+
+    assert _parse_bytes("128m") == 128 * 2**20
+    assert _parse_bytes("128mb") == 128 * 2**20
+    assert _parse_bytes("1g") == 2**30
+    assert _parse_bytes("4194304") == 4 * 2**20
+    p = str(tmp_path / "one")
+    spark.range(0, 1000, 1, 1).write.parquet(p)
+    df = spark.read.parquet(p)
+    # small single file -> widened
+    assert widen_small_scan(df, target=8).rdd.getNumPartitions() == 8
+    # pretend the split size is tiny: file now counts as "big enough to
+    # split" -> untouched (no repartition exchange)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        out = widen_small_scan(df, target=8)
+        assert out is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")

@@ -224,9 +224,15 @@ def asof_join(
     )
     rpay = rf.select(*r_by, "_b", "_ts_d", payload.alias("_p"))
     ptype = rpay.schema["_p"].dataType
-    lbuckets = lf.select(
-        *[F.col(c).alias(rb) for c, rb in zip(by_l, r_by)], "_b"
-    ).distinct()
+    # null-ts left rows live in the NULL bucket; it must never receive a
+    # carry (NULL sorts first in the carry window, so a forward carry
+    # would hand a null-ts row the globally earliest right payload — a
+    # match a null timestamp can't have)
+    lbuckets = (
+        lf.select(*[F.col(c).alias(rb) for c, rb in zip(by_l, r_by)], "_b")
+        .where(F.col("_b").isNotNull())
+        .distinct()
+    )
 
     def _carries(forward: bool):
         """Bucket-granularity carry: for each LEFT bucket, the latest right
@@ -704,7 +710,7 @@ def asof_join_cogroup(
         rp = rp[rp[RP + on].notna()]
         if len(rp) == 0:
             for c, oc in gather_cols:
-                out[oc] = _missing_col(n, pd.Series(dtype=object))
+                out[oc] = _alloc(n, None)
             return out[out_names]
         rp = rp.sort_values(
             [*[RP + c for c in by_l], RP + on, *[RP + c for c in rcols]],

@@ -278,6 +278,7 @@ _register(
       SELECT user_id, event_type, COUNT(*) AS cnt,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
       FROM events
+      WHERE event_type IS NOT NULL  -- mirrors mode_label: nulls never vote
       GROUP BY user_id, event_type
     )
     WHERE rn = 1

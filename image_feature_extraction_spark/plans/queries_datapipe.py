@@ -669,6 +669,7 @@ _register(
     SELECT event_type, (j - 1)::INT AS edge_idx, value AS edge_value, n
     FROM ranked, (VALUES (1), (2), (3)) AS t(j)
     WHERE pos = (j * n) // 4
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, pos ORDER BY j) = 1
     ORDER BY event_type, edge_idx
     """,
 )
@@ -748,58 +749,6 @@ _register(
 )
 
 
-def q_asof_forward(spark, sf_dir):
-    """Forward (next-event) as-of join: for each click, the EARLIEST
-    purchase at or after it per user — bucketed JVM strategy, forward
-    direction; DuckDB ASOF with the inequality reversed is the oracle."""
-    from ..operators.asof import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.col("value").alias("click_value")
-    )
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("purchase_value"))
-    )
-    out = asof_join(
-        clicks, purchases, on="ts", by="user_id",
-        direction="forward", bucket_width=86400.0,
-    )
-    from .queries import _TS_FMT_SPARK
-
-    return out.select(
-        "event_id", "user_id",
-        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
-        "click_value", "purchase_value",
-    ).orderBy("event_id")
-
-
-from .queries import _TS_FMT_DUCK  # noqa: E402
-
-_register(
-    "q_asof_forward",
-    q_asof_forward,
-    f"""
-    WITH clicks AS (
-      SELECT user_id, ts, event_id, value AS click_value
-      FROM events WHERE event_type = 'click'
-    ), purchases AS (
-      SELECT user_id, ts, MAX(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id, ts
-    )
-    SELECT c.event_id, c.user_id,
-           strftime(c.ts, '{_TS_FMT_DUCK}') AS ts_s,
-           c.click_value, p.purchase_value
-    FROM clicks c ASOF LEFT JOIN purchases p
-      ON c.user_id = p.user_id AND c.ts <= p.ts
-    ORDER BY c.event_id
-    """,
-)
-
-
 def _clicks_purchases(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -822,6 +771,43 @@ _SQL_CLICKS_PURCHASES = """
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     )"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward (next-event) as-of join: for each click, the EARLIEST
+    purchase at or after it per user — bucketed JVM strategy, forward
+    direction; DuckDB ASOF with the inequality reversed is the oracle."""
+    from ..operators.asof import asof_join
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        direction="forward", bucket_width=86400.0,
+    )
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value", "purchase_value",
+    ).orderBy("event_id")
+
+
+from .queries import _TS_FMT_DUCK  # noqa: E402
+
+_register(
+    "q_asof_forward",
+    q_asof_forward,
+    f"""
+    WITH {_SQL_CLICKS_PURCHASES}
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS ts_s,
+           c.click_value, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+)
 
 
 def q_asof_interpolate(spark, sf_dir):
@@ -1173,8 +1159,12 @@ def q_gaussian_smooth(spark, sf_dir):
     out = W.gaussian_time_smooth(
         ev, by="user_id", ts="ts", value="v", sigma=600.0, cutoff=3.0
     )
+    # ROUND to 5 decimals: the weight sums are order-dependent floats
+    # (~1e-14 spread) and exp() may differ by 1 ulp between engines; the
+    # 5e-6 rounding quantum makes a boundary flip negligible where 6
+    # decimals would leave ~1e-4 per-run flip probability over 10k rows
     return out.select(
-        "event_id", "user_id", F.round("smoothed", 6).alias("smoothed")
+        "event_id", "user_id", F.round("smoothed", 5).alias("smoothed")
     ).orderBy("event_id")
 
 
@@ -1199,7 +1189,7 @@ _register(
     SELECT event_id, user_id,
            ROUND(CASE WHEN SUM({_GS_W}) > 0
                  THEN SUM(({_GS_W}) * COALESCE(vb, 0.0)) / SUM({_GS_W})
-                 END, 6) AS smoothed
+                 END, 5) AS smoothed
     FROM pairs
     GROUP BY event_id, user_id, t
     ORDER BY event_id

@@ -30,9 +30,19 @@ def read_roi_file(spark: SparkSession, path: str, header: bool = False) -> DataF
     or filter); header line skipped when header=True."""
     lines = spark.read.text(path)
     if header:
+        # skip the first line of EACH file (a glob reads several ROI
+        # files, each with its own header; a global id==0 test would skip
+        # one arbitrary line and keep every other header). Within-file
+        # order note: ROI files are single-split sized; for a file large
+        # enough to split, first-line identification would need offsets.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
         lines = (
-            lines.withColumn("_rn", F.monotonically_increasing_id())
-            .where(F.col("_rn") > 0)
+            lines.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
             .drop("_rn")
         )
     cols = [
@@ -55,21 +65,26 @@ def read_pair_list(
     spark: SparkSession, path: str, sep: str = ","
 ) -> DataFrame:
     """Manifest of (image, mask) paths with reference semantics: trim both
-    fields; rows that cannot be split into exactly two non-empty fields
-    carry _invalid."""
+    fields; rows that cannot be split into exactly two NON-EMPTY fields
+    carry _invalid (the reference errors on unsplittable lines — an empty
+    field is just as unusable as a missing separator). `sep` is a literal
+    separator (\\Q-quoted; F.split takes a regex)."""
     lines = spark.read.text(path)
-    parts = F.split("value", sep)
+    parts = F.split("value", "\\Q" + sep + "\\E")
+    # F.get, not [i]: ANSI mode throws on out-of-bounds array indexing,
+    # and the condition is evaluated for every row incl. 1-field lines
+    p0, p1 = F.get(parts, 0), F.get(parts, 1)
+    well_formed = (
+        (F.size(parts) == 2) & (F.trim(p0) != "") & (F.trim(p1) != "")
+    )
     out = lines.select(
-        F.when(F.size(parts) == 2, F.trim(parts[0])).alias("image"),
-        F.when(F.size(parts) == 2, F.trim(parts[1])).alias("mask"),
+        F.when(well_formed, F.trim(p0)).alias("image"),
+        F.when(well_formed, F.trim(p1)).alias("mask"),
         F.when(
-            (F.size(parts) != 2) & (F.trim("value") != ""), F.col("value")
+            ~well_formed & (F.trim("value") != ""), F.col("value")
         ).alias("_invalid"),
     )
-    return out.where(
-        F.col("_invalid").isNotNull()
-        | (F.col("image").isNotNull() & (F.col("image") != ""))
-    )
+    return out.where(F.col("_invalid").isNotNull() | F.col("image").isNotNull())
 
 
 def read_text_matrix(
@@ -215,6 +230,10 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
         "value",
         "_k",
     )
+    # cache before the eager validation: the count below and the caller's
+    # first action would otherwise both execute the (serial, single-
+    # partition-window) parse plan
+    vol = vol.cache()
     counts = vol.agg(
         F.count(F.lit(1)).alias("n_tok"), F.count("value").alias("n_parsed")
     ).first()

@@ -457,3 +457,82 @@ def test_widen_small_scan_skips_large_single_file(spark, tmp_path):
         assert out is df
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+
+
+def test_asof_bucketed_null_ts_all_directions(spark):
+    """Review regression: bucketed forward/nearest must not hand a null-ts
+    left row the earliest right payload via the null-bucket carry."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [20.0, None], "lv": [1.0, 2.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [10.0, 30.0], "rv": [5.0, 9.0]})
+    )
+    want = {"backward": 5.0, "forward": 9.0, "nearest": 5.0}
+    for direction, exp in want.items():
+        out = asof_join(
+            left, right, on="ts", by="entity_id",
+            direction=direction, bucket_width=7.0,
+        ).toPandas()
+        got = {r["lv"]: r["rv"] for _, r in out.iterrows()}
+        assert got[1.0] == exp, (direction, got)
+        assert pd.isna(got[2.0]), (direction, got)
+    # interpolate too
+    out = asof_join(
+        left, right, on="ts", by="entity_id",
+        direction="interpolate", bucket_width=7.0,
+    ).toPandas()
+    got = {r["lv"]: r["rv"] for _, r in out.iterrows()}
+    assert got[1.0] == pytest.approx(7.0)
+    assert pd.isna(got[2.0])
+
+
+def test_asof_cogroup_all_null_right_ts(spark):
+    from image_feature_extraction_spark.operators.asof import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [20.0], "lv": [1.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1], "ts": [None, None], "rv": [5.0, 9.0]})
+    )
+    out = asof_join_cogroup(left, right, on="ts", by="entity_id").toPandas()
+    assert len(out) == 1 and pd.isna(out["rv"].iloc[0])
+
+
+def test_pair_list_literal_sep_and_empty_fields(spark, tmp_path):
+    from image_feature_extraction_spark.sources import textual as TX
+
+    p = tmp_path / "pairs.psv"
+    p.write_text("img1.png|mask1.png\n,oops|x|y\n|maskonly.png\nimgonly.png|\n")
+    out = TX.read_pair_list(spark, str(p), sep="|").toPandas()
+    good = out[out["_invalid"].isna()]
+    assert good["image"].tolist() == ["img1.png"]
+    # empty-field rows surface as _invalid instead of vanishing/passing
+    assert len(out[out["_invalid"].notna()]) == 3
+
+
+def test_roi_reader_multi_file_headers(spark, tmp_path):
+    from image_feature_extraction_spark.sources import textual as TX
+
+    d = tmp_path / "rois"
+    d.mkdir()
+    (d / "a.txt").write_text("HEADER A\n[1,1,1][2,2,2]\n")
+    (d / "b.txt").write_text("HEADER B\n[3,3,3][4,4,4]\n")
+    out = TX.read_roi_file(spark, str(d), header=True).toPandas()
+    # both headers skipped, both data rows kept, nothing flagged
+    assert out["_invalid"].isna().all()
+    assert sorted(out["x"]) == [1, 3]
+
+
+def test_exact_quantiles_tiny_stratum_matches_first_j(spark):
+    """Stratum with n < n_bins: only the FIRST j per position is emitted
+    (array_position semantics), mirrored by the oracle's QUALIFY."""
+    from image_feature_extraction_spark.operators.quantiles import (
+        exact_quantile_values,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [42.0]}))
+    out = exact_quantile_values(df, value="v", keys="k", n_bins=4).toPandas()
+    assert len(out) == 1
+    assert out["edge_idx"].iloc[0] == 0 and out["edge_value"].iloc[0] == 42.0

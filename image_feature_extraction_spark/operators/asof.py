@@ -131,6 +131,60 @@ def _np_asof_match(rts, t, direction: str, tolerance):
     return sel >= 0, sel
 
 
+def _resolve_output_cols(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_l: list,
+    right_cols,
+    suffix: str,
+    include_right_on: bool,
+    direction: str,
+):
+    """Shared strategy prologue: defaulted right columns, output renames,
+    and the argument validations every strategy needs (kept in ONE place
+    so the four physical strategies cannot drift):
+
+    - right_cols must not contain `on` or a `by` key (a duplicate alias is
+      an ambiguous-attribute error three plans later; include_right_on is
+      the supported way to get the matched right timestamp);
+    - interpolate requires numeric right columns (the bucketed cast would
+      silently null strings while numpy would crash) and cannot return a
+      single matched right timestamp.
+
+    Returns (rcols, out_rnames, right_on_out).
+    """
+    from pyspark.sql.types import NumericType
+
+    assert direction in ("backward", "forward", "nearest", "interpolate")
+    rcols = _as_list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in set(by_l) | {on}
+    ]
+    bad = [c for c in rcols if c == on or c in by_l]
+    if bad:
+        raise ValueError(
+            f"right_cols must not contain the join keys {bad}; use "
+            "include_right_on=True for the matched right timestamp"
+        )
+    if direction == "interpolate":
+        if include_right_on:
+            raise ValueError(
+                "interpolate blends two right rows; there is no single "
+                "matched right timestamp to include"
+            )
+        non_numeric = [
+            c for c in rcols
+            if not isinstance(right.schema[c].dataType, NumericType)
+        ]
+        if non_numeric:
+            raise ValueError(
+                f"interpolate requires numeric right columns; got {non_numeric}"
+            )
+    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
+    right_on_out = f"{on}{suffix}" if include_right_on else None
+    return rcols, out_rnames, right_on_out
+
+
 def _ts_double(df: DataFrame, on: str):
     """Any orderable time column -> double (epoch seconds for timestamps).
     TIMESTAMP_NTZ has no direct double cast in Spark 4; route via timestamp
@@ -176,22 +230,20 @@ def asof_join(
     numeric and are emitted as double. With a tolerance, rows where either
     bracketing sample is farther than `tolerance` from t are nulled.
     """
-    assert direction in ("backward", "forward", "nearest", "interpolate")
     by_l = _as_list(by)
-    rcols = _as_list(right_cols) if right_cols is not None else [
-        c for c in right.columns if c not in set(by_l) | {on}
-    ]
-    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
-    if direction == "interpolate" and include_right_on:
-        raise ValueError(
-            "interpolate blends two right rows; there is no single matched "
-            "right timestamp to include"
-        )
-    right_on_out = f"{on}{suffix}" if include_right_on else None
+    rcols, out_rnames, right_on_out = _resolve_output_cols(
+        left, right, on, by_l, right_cols, suffix, include_right_on, direction
+    )
     want_back = direction in ("backward", "nearest", "interpolate")
     want_fwd = direction in ("forward", "nearest", "interpolate")
 
     W = float(bucket_width)
+    if not (W > 0):  # also catches NaN
+        raise ValueError(
+            f"bucket_width must be a positive finite number, got {bucket_width!r}"
+            " (a negative width inverts bucket order vs time and silently"
+            " loses cross-bucket matches)"
+        )
     lf = left.withColumn("_ts_d", _ts_double(left, on)).withColumn(
         "_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long")
     )
@@ -205,10 +257,15 @@ def asof_join(
         *[F.col(c).alias(P + c) for c in rcols],
     )
     # null right timestamps are unmatchable (every direction compares
-    # against them); left rows with null ts land in the null bucket and,
-    # with no right rows there, come back unmatched — consistent across
-    # all strategies
-    rf = right2.where(F.col("_ts_d").isNotNull()).withColumn(
+    # against them) and null BY keys never join under SQL equality (the
+    # oracle's ASOF ... ON a.k = b.k semantics; the pandas strategies drop
+    # them via groupby) — filter both so every strategy agrees. Left rows
+    # with null ts/keys land in partitions with no right rows and come
+    # back unmatched.
+    r_nonnull = F.col("_ts_d").isNotNull()
+    for c in by_l:
+        r_nonnull = r_nonnull & F.col("_r_" + c).isNotNull()
+    rf = right2.where(r_nonnull).withColumn(
         "_b", F.floor(F.col("_ts_d") / F.lit(W)).cast("long")
     )
     r_by = [P + c for c in by_l]
@@ -393,11 +450,9 @@ def asof_join_window(
     fields smallest) — the same contract as the other strategies. Right
     rows with a null timestamp are unmatchable and dropped."""
     by_l = _as_list(by)
-    rcols = _as_list(right_cols) if right_cols is not None else [
-        c for c in right.columns if c not in set(by_l) | {on}
-    ]
-    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
-    right_on_out = f"{on}{suffix}" if include_right_on else None
+    rcols, out_rnames, right_on_out = _resolve_output_cols(
+        left, right, on, by_l, right_cols, suffix, include_right_on, "backward"
+    )
 
     lkeep = [c for c in left.columns if c not in set(by_l) | {on}]
     pay = F.struct(
@@ -414,7 +469,10 @@ def asof_join_window(
         )
         .alias("_p"),
     )
-    r2 = right.where(F.col(on).isNotNull()).select(
+    r_nonnull = F.col(on).isNotNull()
+    for c in by_l:
+        r_nonnull = r_nonnull & F.col(c).isNotNull()
+    r2 = right.where(r_nonnull).select(
         *by_l,
         F.col(on),
         F.lit(0).alias("_tag"),
@@ -484,18 +542,10 @@ def asof_join_broadcast(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    assert direction in ("backward", "forward", "nearest", "interpolate")
     by_l = _as_list(by)
-    rcols = _as_list(right_cols) if right_cols is not None else [
-        c for c in right.columns if c not in set(by_l) | {on}
-    ]
-    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
-    if direction == "interpolate" and include_right_on:
-        raise ValueError(
-            "interpolate blends two right rows; there is no single matched "
-            "right timestamp to include"
-        )
-    right_on_out = f"{on}{suffix}" if include_right_on else None
+    rcols, out_rnames, right_on_out = _resolve_output_cols(
+        left, right, on, by_l, right_cols, suffix, include_right_on, direction
+    )
     interp = direction == "interpolate"
 
     rschema = {f.name: f for f in right.schema.fields}
@@ -508,6 +558,10 @@ def asof_join_broadcast(
     out_schema = StructType(out_fields)
 
     # Collect + index the right side on the driver (counted, bounded).
+    # Known pandas round-trip limitation (also applies to cogroup): a
+    # NULLABLE integer right column travels as float64, so int64 values
+    # above 2^53 in a column that also has nulls lose precision; the
+    # bucketed (JVM) strategy is exact for that shape.
     rp = right.select(*by_l, on, *rcols).limit(max_right_rows + 1).toPandas()
     if len(rp) > max_right_rows:
         raise ValueError(
@@ -541,6 +595,9 @@ def asof_join_broadcast(
     sc = left.sparkSession.sparkContext
     b_index = sc.broadcast(index)
     lcols = [f.name for f in left.schema.fields]
+    # dtype templates only — capturing `rp` itself would cloudpickle the
+    # whole collected right side into every task closure, duplicating the
+    # broadcast at up to max_right_rows scale
 
     # Output gather targets, typed: float/datetime columns get native
     # arrays (NaN/NaT missing); everything else object (None missing).
@@ -556,6 +613,10 @@ def asof_join_broadcast(
         if np.issubdtype(src.dtype, np.floating):
             return np.full(n, np.nan, dtype=np.float64)
         return np.full(n, None, dtype=object)
+
+    templates = (
+        {oc: rp[c].iloc[:0] for c, oc in gather_cols} if len(rp) else None
+    )
 
     # Arrow-native stage: heavy payload columns (token arrays) pass through
     # untouched as Arrow buffers; only the key/time columns are converted.
@@ -579,7 +640,9 @@ def asof_join_broadcast(
             lts = _ts_np_series(keydf[on])
             grp_of = keydf.groupby(by_l, sort=False).indices
             targets = (
-                {oc: _alloc(n, rp[c]) for c, oc in gather_cols} if len(rp) else {}
+                {oc: _alloc(n, templates[oc]) for _c, oc in gather_cols}
+                if templates is not None
+                else {}
             )
             for key, rows in grp_of.items():
                 k = key if isinstance(key, tuple) else (key,)
@@ -655,18 +718,10 @@ def asof_join_cogroup(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    assert direction in ("backward", "forward", "nearest", "interpolate")
     by_l = _as_list(by)
-    rcols = _as_list(right_cols) if right_cols is not None else [
-        c for c in right.columns if c not in set(by_l) | {on}
-    ]
-    out_rnames = [c + suffix if c in left.columns else c for c in rcols]
-    if direction == "interpolate" and include_right_on:
-        raise ValueError(
-            "interpolate blends two right rows; there is no single matched "
-            "right timestamp to include"
-        )
-    right_on_out = f"{on}{suffix}" if include_right_on else None
+    rcols, out_rnames, right_on_out = _resolve_output_cols(
+        left, right, on, by_l, right_cols, suffix, include_right_on, direction
+    )
     interp = direction == "interpolate"
 
     rschema = {f.name: f for f in right.schema.fields}
@@ -809,7 +864,13 @@ def asof_join_auto(
     partitioned window, backward-only, right when entities are small).
     The choice is recorded on the result as ``df._asof_strategy``.
     """
+    chose = False
     if strategy is None:
+        # persist across probe + (eager) broadcast collect so a DERIVED
+        # right side (e.g. an aggregated stats table) is computed once;
+        # lazy strategies unpersist immediately (nothing collected yet)
+        right = right.persist()
+        chose = True
         strategy = choose_asof_strategy(right, broadcast_max_rows)
     kw = dict(
         on=on, by=by, right_cols=right_cols, direction=direction,
@@ -833,5 +894,9 @@ def asof_join_auto(
         )
     else:
         raise ValueError(f"unknown asof strategy {strategy!r}")
+    if chose:
+        # broadcast collected eagerly above; for lazy strategies this just
+        # returns to the un-cached status quo
+        right.unpersist()
     out._asof_strategy = strategy
     return out

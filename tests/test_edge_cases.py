@@ -536,3 +536,51 @@ def test_exact_quantiles_tiny_stratum_matches_first_j(spark):
     out = exact_quantile_values(df, value="v", keys="k", n_bins=4).toPandas()
     assert len(out) == 1
     assert out["edge_idx"].iloc[0] == 0 and out["edge_value"].iloc[0] == 42.0
+
+
+def test_asof_null_entity_keys_never_match_all_strategies(spark):
+    """SQL equality semantics: NULL entity keys never join, identically in
+    every strategy (Window.partitionBy would otherwise group NULLs)."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [None, 1.0], "ts": [10.0, 10.0], "lv": [1.0, 2.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [None, 1.0], "ts": [5.0, 5.0], "rv": [7.0, 8.0]})
+    )
+    for fn, kw in (
+        (asof_join, {"bucket_width": 100.0}),
+        (asof_join_window, {}),
+        (asof_join_broadcast, {}),
+        (asof_join_cogroup, {}),
+    ):
+        out = fn(left, right, on="ts", by="entity_id", **kw).toPandas()
+        got = {r["lv"]: r["rv"] for _, r in out.iterrows()}
+        assert len(out) == 2, fn.__name__
+        assert pd.isna(got[1.0]), fn.__name__   # null key -> no match
+        assert got[2.0] == 8.0, fn.__name__
+
+
+def test_asof_argument_validation(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [10.0], "lv": [0.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [5.0], "rv": [1.0], "name": ["x"]})
+    )
+    with pytest.raises(ValueError, match="right_cols must not contain"):
+        asof_join(left, right, on="ts", by="entity_id", right_cols=["ts", "rv"])
+    with pytest.raises(ValueError, match="bucket_width must be"):
+        asof_join(left, right, on="ts", by="entity_id", bucket_width=-5.0)
+    for fn in (asof_join, asof_join_broadcast):
+        with pytest.raises(ValueError, match="numeric right columns"):
+            fn(left, right, on="ts", by="entity_id", direction="interpolate",
+               right_cols=["name"])

@@ -82,6 +82,70 @@ def _ts_np_series(series):
     return series.to_numpy(dtype=np.float64)
 
 
+def _spark_array_key(v):
+    """Order-equivalent nested tuple for one array cell: replicates Spark's
+    ArrayType ascending ordering (elementwise, null element smallest,
+    shorter-prefix smaller) with plain Python tuples, which pandas CAN sort
+    — ndarray cells themselves raise 'unhashable type' inside sort_values.
+    None (a null array) is returned as None so na_position applies."""
+    import numpy as np
+
+    if v is None:
+        return None
+    return tuple(
+        (0,)
+        if e is None
+        else (1, _spark_array_key(e))
+        if isinstance(e, (list, tuple, np.ndarray))
+        else (1, e)
+        for e in v
+    )
+
+
+def _tuple_sortable(dt) -> bool:
+    """True when a Spark type's pandas cells can participate in the
+    duplicate-ts tie-break sort: atomic types directly, arrays (nested
+    arrays included) via _spark_array_key. Map/Struct payloads are the
+    only exclusion — for those the stable sort keeps input order."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    while isinstance(dt, ArrayType):
+        dt = dt.elementType
+    return not isinstance(dt, (MapType, StructType))
+
+
+def _dup_ts_sort(rp, head_cols, payload_cols, rschema, prefix: str = ""):
+    """Deterministic duplicate-timestamp sort shared by the broadcast index
+    build and the cogroup merge: order by (keys, ts, payload...) replicating
+    the bucketed strategy's struct-max/min contract (backward matches the
+    greatest payload among duplicate right timestamps, forward the least;
+    null payload = smallest, hence na_position='first' like Spark struct
+    ordering). Array-typed payload columns — which pandas cannot natively
+    order — are sorted via order-equivalent nested tuples; Map/Struct
+    payloads are excluded from the tie-break (documented limitation: among
+    duplicate timestamps differing ONLY in a map/struct payload the stable
+    sort keeps input order)."""
+    from pyspark.sql.types import ArrayType
+
+    keys = [prefix + c for c in head_cols]
+    assigns = {}
+    for c in payload_cols:
+        dt = rschema[c].dataType
+        col = prefix + c
+        if not _tuple_sortable(dt):
+            continue
+        if isinstance(dt, ArrayType):
+            sk = "__asof_sk_" + col
+            assigns[sk] = rp[col].map(_spark_array_key, na_action="ignore")
+            keys.append(sk)
+        else:
+            keys.append(col)
+    if assigns:
+        rp = rp.assign(**assigns)
+    rp = rp.sort_values(keys, kind="stable", na_position="first")
+    return rp.drop(columns=list(assigns)) if assigns else rp
+
+
 def _np_asof_match(rts, t, direction: str, tolerance):
     """Vectorized as-of matcher against one entity's sorted right ts array.
 
@@ -575,12 +639,11 @@ def asof_join_broadcast(
     # the index build (NaN in a sorted array corrupts searchsorted)
     rp = rp[rp[on].notna()]
     if len(rp):
-        # secondary sort on the payload columns: among duplicate right
-        # timestamps, backward deterministically matches the greatest
-        # payload and forward the least — same contract as the bucketed
-        # strategy's struct-max/min; na_position='first' makes a null
-        # payload the SMALLEST tuple, matching Spark struct ordering
-        rp = rp.sort_values([*by_l, on, *rcols], kind="stable", na_position="first")
+        # secondary sort on the payload columns (see _dup_ts_sort): among
+        # duplicate right timestamps, backward deterministically matches
+        # the greatest payload and forward the least — same contract as
+        # the bucketed strategy's struct-max/min
+        rp = _dup_ts_sort(rp, [*by_l, on], rcols, rschema)
         for key, grp in rp.groupby(by_l, sort=False):
             k = key if isinstance(key, tuple) else (key,)
             payload = {
@@ -767,11 +830,7 @@ def asof_join_cogroup(
             for c, oc in gather_cols:
                 out[oc] = _alloc(n, None)
             return out[out_names]
-        rp = rp.sort_values(
-            [*[RP + c for c in by_l], RP + on, *[RP + c for c in rcols]],
-            kind="stable",
-            na_position="first",
-        )
+        rp = _dup_ts_sort(rp, [*by_l, on], rcols, rschema, prefix=RP)
         payload = {
             c: (
                 _dt_naive(rp[RP + c]).to_numpy().astype("datetime64[us]")

@@ -79,9 +79,12 @@ def _cosine_blas_udf():
         if not len(qa):
             return pd.Series(dtype="float64")
         # null vectors -> null cosine (the Catalyst path's behavior);
-        # np.stack over a batch containing None would raise instead
+        # np.stack over a batch containing None would raise instead.
+        # The not-ok rows must be None (NULL), NOT NaN: NaN sorts ABOVE
+        # every real cosine under F.desc, so a NaN would rank null-vector
+        # candidates first, while SQL NULL sorts last like the oracle.
         ok = qa.notna().to_numpy() & cb.notna().to_numpy()
-        out = np.full(len(qa), np.nan)
+        out = np.full(len(qa), None, dtype=object)
         if ok.any():
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in qa[ok]])
             C = np.stack([np.asarray(v, dtype=np.float64) for v in cb[ok]])
@@ -89,7 +92,7 @@ def _cosine_blas_udf():
             nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
             nc = np.sqrt(np.einsum("ij,ij->i", C, C))
             out[ok] = dot / (nq * nc)
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return cos
 

@@ -114,16 +114,18 @@ def widen_small_scan(df, target: int | None = None):
     case, where an extra exchange would be catastrophic — pass through
     untouched: few-but-LARGE files still split into many scan tasks, so
     the guard checks total BYTES against one split (maxPartitionBytes),
-    not just file count; unstattable paths (object stores without local
-    access) and non-file sources (synth mapInArrow tables) also pass
-    through untouched."""
+    NOT file count — Spark packs many tiny files into few scan partitions
+    (openCostInBytes bin-packing), so 40x1KB files would still scan nearly
+    serially if a file-count guard passed them through. Unstattable paths
+    (object stores without local access) and non-file sources (synth
+    mapInArrow tables) also pass through untouched."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
-    if not files or len(files) >= target:
+    if not files:
         return df
     max_split = int(
         _parse_bytes(

@@ -232,22 +232,29 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
     )
     # cache before the eager validation: the count below and the caller's
     # first action would otherwise both execute the (serial, single-
-    # partition-window) parse plan
+    # partition-window) parse plan. The returned DataFrame stays cached and
+    # is CALLER-OWNED: unpersist it after the first materialization. The
+    # validation-error paths unpersist before raising so a rejected file
+    # never leaks a cache entry for the rest of the session.
     vol = vol.cache()
-    counts = vol.agg(
-        F.count(F.lit(1)).alias("n_tok"), F.count("value").alias("n_parsed")
-    ).first()
-    n_tok, n_parsed = counts["n_tok"], counts["n_parsed"]
-    if n_tok != sx * sy * sz:
-        raise ValueError(
-            f"Not enough values in file: got {n_tok}, want {sx * sy * sz}"
-            if n_tok < sx * sy * sz
-            else f"Too many values in file: got {n_tok}, want {sx * sy * sz}"
-        )
-    if n_parsed != n_tok:
-        # try_cast nulls garbled tokens; loading them as null voxels would
-        # silently corrupt the volume — raise like the reference reader
-        raise ValueError(f"{n_tok - n_parsed} unparseable values in file")
+    try:
+        counts = vol.agg(
+            F.count(F.lit(1)).alias("n_tok"), F.count("value").alias("n_parsed")
+        ).first()
+        n_tok, n_parsed = counts["n_tok"], counts["n_parsed"]
+        if n_tok != sx * sy * sz:
+            raise ValueError(
+                f"Not enough values in file: got {n_tok}, want {sx * sy * sz}"
+                if n_tok < sx * sy * sz
+                else f"Too many values in file: got {n_tok}, want {sx * sy * sz}"
+            )
+        if n_parsed != n_tok:
+            # try_cast nulls garbled tokens; loading them as null voxels
+            # would silently corrupt the volume — raise like the reference
+            raise ValueError(f"{n_tok - n_parsed} unparseable values in file")
+    except BaseException:
+        vol.unpersist()
+        raise
     return header, vol.drop("_k")
 
 

@@ -584,3 +584,118 @@ def test_asof_argument_validation(spark):
         with pytest.raises(ValueError, match="numeric right columns"):
             fn(left, right, on="ts", by="entity_id", direction="interpolate",
                right_cols=["name"])
+
+
+def test_asof_array_payload_broadcast_and_cogroup(spark):
+    """ADVICE r2: the duplicate-ts secondary sort crashed on array-typed
+    right payload columns (ndarray cells are unhashable in sort_values).
+    Array payloads must join fine AND keep the duplicate-ts tie-break
+    (backward = greatest payload, Spark array ordering) in parity with
+    the bucketed strategy."""
+    from image_feature_extraction_spark.operators.asof import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1, 1, 2], "ts": [10, 20, 10], "lv": [1.0, 2.0, 3.0]})
+    )
+    # entity 1 has DUPLICATE ts=5 rows whose payloads differ only in the
+    # array column: backward must deterministically pick the greatest
+    # array ([2,0] > [1,9] elementwise-lexicographic, Spark ordering)
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": [1, 1, 1, 2],
+                "ts": [5, 5, 15, 4],
+                "emb": [[1, 9], [2, 0], [7, 7], [5, 5]],
+            }
+        ),
+        "entity_id long, ts long, emb array<int>",
+    )
+    want = {
+        (1, 10): [2, 0],
+        (1, 20): [7, 7],
+        (2, 10): [5, 5],
+    }
+    bucketed = asof_join(left, right, on="ts", by="entity_id", bucket_width=100.0)
+    broadcast = asof_join_broadcast(left, right, on="ts", by="entity_id")
+    cogroup = asof_join_cogroup(left, right, on="ts", by="entity_id")
+    for name, df in (("bucketed", bucketed), ("broadcast", broadcast), ("cogroup", cogroup)):
+        got = {
+            (r["entity_id"], r["ts"]): list(r["emb"])
+            for r in df.collect()
+        }
+        assert got == want, name
+
+
+def test_asof_struct_payload_does_not_crash(spark):
+    """Map/struct payloads are excluded from the tie-break sort but must
+    not crash the join."""
+    from image_feature_extraction_spark.operators.asof import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1], "ts": [10], "lv": [1.0]})
+    )
+    right = spark.createDataFrame(
+        [(1, 5, {"a": 2})], "entity_id long, ts long, m map<string,int>"
+    )
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        out = fn(left, right, on="ts", by="entity_id").collect()
+        assert len(out) == 1 and out[0]["m"] == {"a": 2}, fn.__name__
+
+
+def test_widen_small_scan_many_tiny_files(spark, tmp_path):
+    """ADVICE r2: many tiny files pack into FEW scan partitions
+    (openCostInBytes bin-packing), so the guard must be byte-based — a
+    file count above target must not short-circuit the widening."""
+    from image_feature_extraction_spark.session import widen_small_scan
+
+    pdf = pd.DataFrame({"x": np.arange(64)})
+    spark.createDataFrame(pdf).repartition(16).write.mode("overwrite").parquet(
+        str(tmp_path / "tiny")
+    )
+    df = spark.read.parquet(str(tmp_path / "tiny"))
+    assert len(df.inputFiles()) >= 8
+    out = widen_small_scan(df, target=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert sorted(r["x"] for r in out.collect()) == list(range(64))
+
+
+def test_blas_cosine_null_vector_is_null_not_nan(spark):
+    """ADVICE r2: the BLAS cosine must return NULL (sorts last under
+    F.desc) for null vectors, not NaN (sorts first) — parity with the
+    Catalyst path even when called outside the bucketed flow."""
+    from image_feature_extraction_spark.operators.similarity import _cosine_blas_udf
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [[1.0, 0.0], None, [0.0, 1.0]],
+                "b": [[1.0, 0.0], [1.0, 0.0], None],
+            }
+        ),
+        "a array<double>, b array<double>",
+    )
+    cos = _cosine_blas_udf()
+    out = df.select(cos("a", "b").alias("c")).toPandas()
+    assert out["c"][0] == pytest.approx(1.0)
+    assert out["c"][1:].isna().all()
+    # ordering: nulls must rank AFTER real cosines under desc
+    ranked = (
+        df.select(cos("a", "b").alias("c"))
+        .orderBy(F.desc("c"))
+        .toPandas()
+    )
+    assert ranked["c"][0] == pytest.approx(1.0)
+
+
+def test_octave_validation_failure_leaves_no_cache(spark, tmp_path):
+    """ADVICE r2: a rejected Octave file must not leak a session-lifetime
+    cache entry."""
+    from image_feature_extraction_spark.sources import textual as TX
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    p = tmp_path / "short.mat"
+    p.write_text("# c\n# name: v\n# type: matrix\n# ndims: 3\n 2 2 2\n1.0 2.0\n")
+    with pytest.raises(ValueError, match="Not enough values"):
+        TX.read_octave_volume(spark, str(p))
+    assert len(sc._jsc.getPersistentRDDs()) == before

@@ -57,8 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for non-SQL ops:
-    q_flagship_features, q_equalized_edges -> rows-only check)."""
-    from image_feature_extraction_spark.plans.queries import ORACLE_SQL
+    """DuckDB-runnable oracle SQL per query. Non-SQL-expressible queries
+    (flagship kernel, equalized edges, multimodal fake codec) carry
+    VALUES-literal oracles computed from the independent numpy generators
+    — resolved lazily here so plain imports stay cheap."""
+    from image_feature_extraction_spark.plans.queries import resolve_oracle_sql
 
-    return dict(ORACLE_SQL)
+    return resolve_oracle_sql()

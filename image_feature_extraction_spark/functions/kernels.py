@@ -600,3 +600,18 @@ def batch_feature_vectors(
                     off = (si * NUM_FEATURES + fi) * nb
                     out[np.asarray(idxs), off : off + nb] = freq
     return out
+
+
+def vec_digest(vec) -> str:
+    """Canonical scalar digest of a float vector: md5 over ','-joined
+    '%.9e' renderings. ONE definition shared by the Spark-side digest UDF
+    (plans/queries.py) and the VALUES-literal oracle generators, so the
+    driver's value-hash compares the underlying float64 bits through a
+    single formatter — a Catalyst format_string would go through Java's
+    HALF_UP %e rounding, which differs from Python's round-half-even on
+    exact decimal ties (e.g. odd/2048 frequencies)."""
+    import hashlib
+
+    return hashlib.md5(
+        ",".join("%.9e" % float(x) for x in vec).encode()
+    ).hexdigest()

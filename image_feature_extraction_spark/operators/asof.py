@@ -164,6 +164,24 @@ def _np_asof_match(rts, t, direction: str, tolerance):
 
     t_ok = ~np.isnan(t)
     back = np.searchsorted(rts, t, side="right") - 1
+    if direction == "cubic":
+        # Catmull-Rom stencil (reference default interpolator is a cubic
+        # spline, tools/ExtractWindow.cxx:134-141): the bracketing pair
+        # (i1, i2) plus one sample on each side. Rows short of the full
+        # 4-point stencil (including exact hits at the hull boundary) are
+        # null — no extrapolation, same hull rule as 'interpolate'.
+        n = len(rts)
+        fwd = np.searchsorted(rts, t, side="left")
+        ok = t_ok & (back >= 1) & (fwd <= n - 2)
+        i1 = np.clip(back, 0, max(n - 1, 0))
+        i2 = np.clip(fwd, 0, max(n - 1, 0))
+        i0 = np.clip(i1 - 1, 0, None)
+        i3 = np.clip(i2 + 1, 0, max(n - 1, 0))
+        if n == 0:
+            return ok & False, (i0, i1, i2, i3)
+        if tolerance is not None:
+            ok &= np.maximum(t - rts[i1], rts[i2] - t) <= tolerance
+        return ok, (i0, i1, i2, i3)
     if direction == "interpolate":
         fwd = np.searchsorted(rts, t, side="left")
         ok = t_ok & (back >= 0) & (fwd < len(rts))
@@ -195,6 +213,37 @@ def _np_asof_match(rts, t, direction: str, tolerance):
     return sel >= 0, sel
 
 
+def _cubic_eval(t, t0, t1, t2, t3, y0, y1, y2, y3):
+    """Non-uniform Catmull-Rom: cubic Hermite on the bracketing interval
+    [t1, t2] with chordal central-difference tangents m1 = (y2-y0)/(t2-t0),
+    m2 = (y3-y1)/(t3-t1) — the classic non-uniform Catmull-Rom form, which
+    reduces to the textbook uniform spline on an even grid and reproduces
+    exact hits (s==0 -> y1, s==1 -> y2).
+
+    The expression tree here is mirrored TERM FOR TERM by the DuckDB
+    oracle SQL (plans/queries_datapipe._asof_cubic_sql) so both engines
+    produce IEEE-identical doubles. Degenerate spacings are defined, not
+    errors: h == 0 (exact hit on a duplicated bracket) returns y1; a
+    zero-width tangent window drops that tangent (slope 0)."""
+    import numpy as np
+
+    h = t2 - t1
+    s = (t - t1) / np.where(h > 0, h, 1.0)
+    s2 = s * s
+    s3 = s2 * s
+    dt20 = t2 - t0
+    dt31 = t3 - t1
+    m1 = np.where(dt20 > 0, (y2 - y0) / np.where(dt20 > 0, dt20, 1.0), 0.0)
+    m2 = np.where(dt31 > 0, (y3 - y1) / np.where(dt31 > 0, dt31, 1.0), 0.0)
+    poly = (
+        (2.0 * s3 - 3.0 * s2 + 1.0) * y1
+        + ((s3 - 2.0 * s2 + s) * h) * m1
+        + (-2.0 * s3 + 3.0 * s2) * y2
+        + ((s3 - s2) * h) * m2
+    )
+    return np.where(h > 0, poly, y1)
+
+
 def _resolve_output_cols(
     left: DataFrame,
     right: DataFrame,
@@ -220,7 +269,8 @@ def _resolve_output_cols(
     """
     from pyspark.sql.types import NumericType
 
-    assert direction in ("backward", "forward", "nearest", "interpolate")
+    if direction not in ("backward", "forward", "nearest", "interpolate", "cubic"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     rcols = _as_list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by_l) | {on}
     ]
@@ -230,11 +280,11 @@ def _resolve_output_cols(
             f"right_cols must not contain the join keys {bad}; use "
             "include_right_on=True for the matched right timestamp"
         )
-    if direction == "interpolate":
+    if direction in ("interpolate", "cubic"):
         if include_right_on:
             raise ValueError(
-                "interpolate blends two right rows; there is no single "
-                "matched right timestamp to include"
+                f"{direction} blends multiple right rows; there is no "
+                "single matched right timestamp to include"
             )
         non_numeric = [
             c for c in rcols
@@ -242,7 +292,7 @@ def _resolve_output_cols(
         ]
         if non_numeric:
             raise ValueError(
-                f"interpolate requires numeric right columns; got {non_numeric}"
+                f"{direction} requires numeric right columns; got {non_numeric}"
             )
     out_rnames = [c + suffix if c in left.columns else c for c in rcols]
     right_on_out = f"{on}{suffix}" if include_right_on else None
@@ -298,6 +348,17 @@ def asof_join(
     rcols, out_rnames, right_on_out = _resolve_output_cols(
         left, right, on, by_l, right_cols, suffix, include_right_on, direction
     )
+    if direction == "cubic":
+        # the 4-point stencil needs two rows on EACH side of every probe;
+        # the bucketed carry machinery replicates only the single nearest
+        # boundary row per side, so cubic lives on the index-based
+        # strategies (broadcast/cogroup) where the full per-entity sorted
+        # history is addressable
+        raise ValueError(
+            "direction='cubic' is supported by asof_join_broadcast and "
+            "asof_join_cogroup (index-based strategies), not the bucketed "
+            "strategy"
+        )
     want_back = direction in ("backward", "nearest", "interpolate")
     want_fwd = direction in ("forward", "nearest", "interpolate")
 
@@ -611,10 +672,12 @@ def asof_join_broadcast(
         left, right, on, by_l, right_cols, suffix, include_right_on, direction
     )
     interp = direction == "interpolate"
+    cubic = direction == "cubic"
+    blend = interp or cubic  # multi-row blends emit double columns
 
     rschema = {f.name: f for f in right.schema.fields}
     out_fields = list(left.schema.fields) + [
-        StructField(oc, DoubleType() if interp else rschema[c].dataType, True)
+        StructField(oc, DoubleType() if blend else rschema[c].dataType, True)
         for c, oc in zip(rcols, out_rnames)
     ]
     if right_on_out:
@@ -669,7 +732,7 @@ def asof_join_broadcast(
         gather_cols.append((on, right_on_out))
 
     def _alloc(n: int, src: pd.Series):
-        if interp:
+        if blend:
             return np.full(n, np.nan, dtype=np.float64)
         if pd.api.types.is_datetime64_any_dtype(src.dtype):
             return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
@@ -686,7 +749,7 @@ def asof_join_broadcast(
     from pyspark.sql.pandas.types import to_arrow_type
 
     out_pa_types = {
-        oc: to_arrow_type(DoubleType() if interp else rschema[c].dataType)
+        oc: to_arrow_type(DoubleType() if blend else rschema[c].dataType)
         for c, oc in gather_cols
     }
 
@@ -724,6 +787,17 @@ def asof_join_broadcast(
                         vb = payload[c][bi].astype(np.float64)
                         vf = payload[c][fi].astype(np.float64)
                         targets[oc][hit_rows] = (vb + (vf - vb) * frac)[ok]
+                elif cubic:
+                    i0, i1, i2, i3 = m
+                    for c, oc in gather_cols:
+                        vals = _cubic_eval(
+                            t, rts[i0], rts[i1], rts[i2], rts[i3],
+                            payload[c][i0].astype(np.float64),
+                            payload[c][i1].astype(np.float64),
+                            payload[c][i2].astype(np.float64),
+                            payload[c][i3].astype(np.float64),
+                        )
+                        targets[oc][hit_rows] = vals[ok]
                 else:
                     hit_sel = m[ok]
                     for c, oc in gather_cols:
@@ -786,10 +860,12 @@ def asof_join_cogroup(
         left, right, on, by_l, right_cols, suffix, include_right_on, direction
     )
     interp = direction == "interpolate"
+    cubic = direction == "cubic"
+    blend = interp or cubic  # multi-row blends emit double columns
 
     rschema = {f.name: f for f in right.schema.fields}
     out_fields = list(left.schema.fields) + [
-        StructField(oc, DoubleType() if interp else rschema[c].dataType, True)
+        StructField(oc, DoubleType() if blend else rschema[c].dataType, True)
         for c, oc in zip(rcols, out_rnames)
     ]
     if right_on_out:
@@ -806,7 +882,7 @@ def asof_join_cogroup(
     RP = "_r_"
 
     def _alloc(n: int, src):
-        if interp:
+        if blend:
             return np.full(n, np.nan, dtype=np.float64)
         if src is not None and pd.api.types.is_datetime64_any_dtype(src.dtype):
             return np.full(n, np.datetime64("NaT"), dtype="datetime64[us]")
@@ -861,6 +937,19 @@ def asof_join_cogroup(
                     vb = payload[c][rrows][bi].astype(np.float64)
                     vf = payload[c][rrows][fi].astype(np.float64)
                     targets[oc][hit_rows] = (vb + (vf - vb) * frac)[ok]
+            elif cubic:
+                i0, i1, i2, i3 = m
+                t = lts[rows]
+                for c, oc in gather_cols:
+                    pv = payload[c][rrows]
+                    vals = _cubic_eval(
+                        t, rts[i0], rts[i1], rts[i2], rts[i3],
+                        pv[i0].astype(np.float64),
+                        pv[i1].astype(np.float64),
+                        pv[i2].astype(np.float64),
+                        pv[i3].astype(np.float64),
+                    )
+                    targets[oc][hit_rows] = vals[ok]
             else:
                 hit_sel = rrows[m[ok]]
                 for c, oc in gather_cols:
@@ -931,6 +1020,10 @@ def asof_join_auto(
         right = right.persist()
         chose = True
         strategy = choose_asof_strategy(right, broadcast_max_rows)
+        if direction == "cubic" and strategy == "bucketed":
+            # cubic is index-strategy-only (see asof_join); above the
+            # broadcast cap the per-partition index tier is the right home
+            strategy = "cogroup"
     kw = dict(
         on=on, by=by, right_cols=right_cols, direction=direction,
         tolerance=tolerance, suffix=suffix, include_right_on=include_right_on,

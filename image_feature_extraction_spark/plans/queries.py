@@ -26,10 +26,26 @@ QUERIES: dict = {}
 ORACLE_SQL: dict = {}
 
 
-def _register(name: str, fn, sql: str | None = None):
+def _register(name: str, fn, sql=None):
+    """sql: oracle SQL string, or a ZERO-ARG CALLABLE returning one for
+    oracles that are expensive to build (VALUES literals computed from the
+    independent numpy generators) — resolved lazily by oracle_sql() so
+    plain imports (bench, tests) never pay the generation cost."""
     QUERIES[name] = fn
     if sql is not None:
         ORACLE_SQL[name] = sql
+
+
+def resolve_oracle_sql() -> dict:
+    """ORACLE_SQL with lazy entries resolved to their SQL strings (cached:
+    a generator runs at most once per process)."""
+    out = {}
+    for name, sql in ORACLE_SQL.items():
+        if callable(sql):
+            sql = sql()
+            ORACLE_SQL[name] = sql
+        out[name] = sql
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -709,46 +725,96 @@ _register(
 FLAGSHIP_DOCS = 256
 
 
+def digest_col(vec_col):
+    """Arrow-vectorized digest of an array<double> column via the SHARED
+    formatter (kernels.vec_digest) — the same function the VALUES-literal
+    oracle generators call, so Spark result and oracle go through one
+    float->text rendering (a Catalyst format_string would use Java's
+    HALF_UP %e, which differs from Python on exact decimal ties)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dig(vals):
+        from image_feature_extraction_spark.functions.kernels import vec_digest
+
+        return vals.map(lambda v: None if v is None else vec_digest(v))
+
+    return dig(vec_col)
+
+
 def q_flagship_features(spark, sf_dir):
     """The reference's flagship per-sample pipeline (§3.1+§3.3): synthetic
     token table -> 8 features x 2 scales -> histogram feature vector per
-    doc. Driver records a rows-only check (no SQL oracle can express the
-    Hessian/eigen kernels); pytest gates allclose vs the numpy oracle."""
+    doc. The vector rides as a deterministic digest (the driver
+    canonicalizer needs scalar columns); the full vectors stay
+    allclose-gated against the numpy oracle in tests/test_features_e2e.py,
+    and the digest is value-checked against the VALUES-literal oracle
+    built from the INDEPENDENT per-doc numpy path (_flagship_features_sql)."""
     from .. import synth
     from ..operators.features import extract_features
 
     df = synth.token_table(spark, FLAGSHIP_DOCS)
     out = extract_features(df, scales=(1.0, 2.0))
-    # The driver canonicalizer needs sortable/hashable (scalar) columns, so
-    # the vector rides as a deterministic digest; the full vectors stay
-    # allclose-gated against the numpy oracle in tests/test_features_e2e.py.
-    digest = F.md5(
-        F.concat_ws(",", F.expr("transform(features, x -> format_string('%.9e', x))"))
-    )
     return out.select(
         "doc_id",
-        "n_tok",
+        F.col("n_tok").cast("long").alias("n_tok"),
         "source",
-        F.size("features").alias("vec_len"),
-        digest.alias("feat_digest"),
+        F.size("features").cast("long").alias("vec_len"),
+        digest_col(F.col("features")).alias("feat_digest"),
     )
 
 
-_register("q_flagship_features", q_flagship_features, None)
+def _flagship_features_sql() -> str:
+    """VALUES-literal oracle (q_checkpoint_ledger pattern): expected rows
+    computed from the INDEPENDENT per-doc numpy oracle — K.doc_feature_vector,
+    the unfused single-document reference path that the fused batch kernel
+    (K.batch_feature_vectors, used by the Spark query) is separately tested
+    bit-identical to — over the same deterministic synth model. Mirrors the
+    reference's golden-literal contract surface (tools/MakeBag.cxx:473-490
+    scalar bag rows, test/Symmetric3x3EigenvalueSolverTest.cxx:48-90)."""
+    import numpy as np
+
+    from .. import synth
+    from ..functions import kernels as K
+
+    vals = []
+    for i in range(FLAGSHIP_DOCS):
+        r = synth.doc_row(i)
+        vec = K.doc_feature_vector(np.asarray(r["tokens"]), (1.0, 2.0), None)
+        vals.append(
+            f"('{r['doc_id']}', {int(r['n_tok'])}, '{r['source']}', "
+            f"{len(vec)}, '{K.vec_digest(vec)}')"
+        )
+    return f"""
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+           CAST(vec_len AS BIGINT) AS vec_len, feat_digest
+    FROM (VALUES {", ".join(vals)})
+         AS t(doc_id, n_tok, source, vec_len, feat_digest)
+    """
+
+
+_register("q_flagship_features", q_flagship_features, _flagship_features_sql)
+
+
+EQUALIZED_DOCS = 128
+EQUALIZED_CELLS = 32
+EQUALIZED_BINS = 4
 
 
 def q_equalized_edges(spark, sf_dir):
     """A3 equi-depth edges over sampled corpus feature values (two-phase
-    flow §3.2). Exact duplicate-aware algorithm; rows-only check (iterative
-    algorithm not SQL-expressible)."""
+    flow §3.2). Exact duplicate-aware algorithm; value-checked against a
+    VALUES-literal oracle recomputed with pure numpy (_equalized_edges_sql)."""
     import pandas as pd
 
     from .. import synth
     from ..operators.features import compute_equalized_edges, sample_feature_values
 
-    df = synth.token_table(spark, 128)
-    long_df = sample_feature_values(df, scales=(1.0,), doc_fraction=1.0, cells_per_doc=32)
-    edges = compute_equalized_edges(long_df, n_scales=1, n_bins=4)
+    df = synth.token_table(spark, EQUALIZED_DOCS)
+    long_df = sample_feature_values(
+        df, scales=(1.0,), doc_fraction=1.0, cells_per_doc=EQUALIZED_CELLS
+    )
+    edges = compute_equalized_edges(long_df, n_scales=1, n_bins=EQUALIZED_BINS)
     # exploded (scale, feature, edge_idx) rows: scalar columns only, so the
     # driver canonicalizer can sort/hash them
     rows = [
@@ -764,11 +830,59 @@ def q_equalized_edges(spark, sf_dir):
     ]
     return spark.createDataFrame(
         pd.DataFrame(rows),
-        "scale_idx int, feature_idx int, edge_idx int, edge_value double",
+        "scale_idx long, feature_idx long, edge_idx long, edge_value double",
     )
 
 
-_register("q_equalized_edges", q_equalized_edges, None)
+def _equalized_edges_sql() -> str:
+    """VALUES-literal oracle: the whole two-phase sampling + equi-depth
+    flow recomputed WITHOUT Spark — per-doc foreground cells, the
+    deterministic md5 cell-choice rng (seed spec of
+    features.sample_feature_values), kernel values, then exact
+    duplicate-aware edges over the sorted multiset. The distributed path's
+    row-cap window never drops rows at this size (4096 << sample_cap), so
+    the multisets are identical and the edges bit-equal."""
+    import hashlib
+
+    import numpy as np
+
+    from .. import synth
+    from ..functions import kernels as K
+
+    acc: dict = {}
+    for i in range(EQUALIZED_DOCS):
+        r = synth.doc_row(i)
+        img, cert = K.pad_to_cube(np.asarray(r["tokens"]))
+        fg = np.flatnonzero(cert.reshape(-1))
+        if len(fg) == 0:
+            continue
+        dseed = int.from_bytes(
+            hashlib.md5(f"cells:42:{r['doc_id']}".encode()).digest()[:8], "little"
+        )
+        rng = np.random.Generator(np.random.PCG64(dseed))
+        take = min(EQUALIZED_CELLS, len(fg))
+        chosen = rng.choice(fg, size=take, replace=False)
+        for si, sigma in enumerate((1.0,)):
+            feats = K.emphysema_features(img, cert, sigma)
+            flat = feats.reshape(-1, K.NUM_FEATURES)[chosen]
+            for fi in range(K.NUM_FEATURES):
+                acc.setdefault((si, fi), []).append(flat[:, fi])
+    vals = []
+    for (si, fi), chunks in sorted(acc.items()):
+        sorted_vals = np.sort(np.concatenate(chunks))
+        for ei, v in enumerate(K.equalized_edges(sorted_vals, EQUALIZED_BINS)):
+            vals.append(f"({si}, {fi}, {ei}, CAST({float(v)!r} AS DOUBLE))")
+    return f"""
+    SELECT CAST(scale_idx AS BIGINT) AS scale_idx,
+           CAST(feature_idx AS BIGINT) AS feature_idx,
+           CAST(edge_idx AS BIGINT) AS edge_idx,
+           edge_value
+    FROM (VALUES {", ".join(vals)})
+         AS t(scale_idx, feature_idx, edge_idx, edge_value)
+    """
+
+
+_register("q_equalized_edges", q_equalized_edges, _equalized_edges_sql)
 
 
 # Training-data-pipeline queries (dedup / similarity / text / extra window

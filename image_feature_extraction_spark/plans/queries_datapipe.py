@@ -675,31 +675,70 @@ _register(
 )
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing demo: synthesized binary payloads -> fake-codec
-    feature vectors (rows-only check; payload synthesis is engine-side and
-    not SQL-reproducible)."""
-    from ..operators.multimodal import extract_multimodal_features, synth_multimodal
+MULTIMODAL_ROWS = 128
 
-    df = synth_multimodal(spark, 128)
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthesized binary payloads -> fake-codec
+    feature vectors, value-checked against a VALUES-literal oracle that
+    recomputes the deterministic md5-seeded payloads and digests
+    driver-side (_multimodal_features_sql)."""
+    from ..operators.multimodal import extract_multimodal_features, synth_multimodal
+    from .queries import digest_col
+
+    df = synth_multimodal(spark, MULTIMODAL_ROWS)
     out = extract_multimodal_features(df, decode_fn="fake")
     # scalar digest instead of the raw vector: the driver canonicalizer
     # sorts/hashes columns, and array cells are unhashable in pandas
-    digest = F.md5(
-        F.concat_ws(
-            ",", F.expr("transform(mm_features, x -> format_string('%.9e', x))")
-        )
-    )
     return out.select(
         "doc_id",
         "modality",
-        F.length("payload").alias("payload_bytes"),
-        F.size("mm_features").alias("feat_dim"),
-        digest.alias("feat_digest"),
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.size("mm_features").cast("long").alias("feat_dim"),
+        digest_col(F.col("mm_features")).alias("feat_digest"),
     )
 
 
-_register("q_multimodal_features", q_multimodal_features, None)
+def _multimodal_features_sql() -> str:
+    """VALUES-literal oracle: payload bytes, modality, and fake-codec
+    feature digests recomputed driver-side from the generator SPEC
+    (multimodal.synth_multimodal / _fake_decode docstrings: md5("mm:{i}")
+    seed -> modality/size/PCG64 payload; feature = md5(payload) bytes
+    tiled to FEATURE_DIM / 255). Digests go through the shared formatter
+    (kernels.vec_digest), matching the query's digest UDF."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.kernels import vec_digest
+    from ..operators.multimodal import FEATURE_DIM
+
+    vals = []
+    for i in range(MULTIMODAL_ROWS):
+        seed = hashlib.md5(f"mm:{i}".encode()).digest()
+        modality = ("image", "audio", "video")[seed[0] % 3]
+        size = 256 + seed[1] * 7
+        rng = np.random.Generator(
+            np.random.PCG64(int.from_bytes(seed[:8], "little"))
+        )
+        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        d = hashlib.md5(payload).digest()
+        base = np.frombuffer(d, dtype=np.uint8).astype(np.float64)
+        reps = int(np.ceil(FEATURE_DIM / len(base)))
+        vec = np.tile(base, reps)[:FEATURE_DIM] / 255.0
+        vals.append(
+            f"('mm{i:09d}', '{modality}', {size}, {FEATURE_DIM}, "
+            f"'{vec_digest(vec)}')"
+        )
+    return f"""
+    SELECT doc_id, modality, CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           CAST(feat_dim AS BIGINT) AS feat_dim, feat_digest
+    FROM (VALUES {", ".join(vals)})
+         AS t(doc_id, modality, payload_bytes, feat_dim, feat_digest)
+    """
+
+
+_register("q_multimodal_features", q_multimodal_features, _multimodal_features_sql)
 
 
 def q_salted_agg(spark, sf_dir):
@@ -876,7 +915,13 @@ def q_asof_auto_bucketed(spark, sf_dir):
     out = asof_join_auto(
         clicks, purchases, on="ts", by="user_id", broadcast_max_rows=100,
     )
-    assert out._asof_strategy == "bucketed", out._asof_strategy
+    # explicit raise, not `assert`: this probe-routing check must survive
+    # `python -O` (assertions stripped) — it IS the point of the query
+    if out._asof_strategy != "bucketed":
+        raise RuntimeError(
+            f"auto strategy probe picked {out._asof_strategy!r}, "
+            "expected 'bucketed' for a right side above the broadcast cap"
+        )
     from .queries import _TS_FMT_SPARK
 
     return out.select(
@@ -1195,3 +1240,127 @@ _register(
     ORDER BY event_id
     """,
 )
+
+
+def q_flagship_parity(spark, sf_dir):
+    """P7 invariant promoted to a driver-visible CORRECTNESS row (VERDICT
+    r2 #6): the fused single-stage flagship pipeline (synth + as-of match +
+    kernel in ONE mapInArrow pass) must be BIT-IDENTICAL — feature digests
+    AND joined point-in-time stats — to the composed three-operator path
+    (token_table -> asof_join_broadcast -> extract_features). Returns one
+    row of counts; any divergence drops a match count and fails the hash."""
+    from ..plans.flagship import flagship_pipeline
+    from .queries import FLAGSHIP_DOCS, digest_col
+
+    def digested(fused: bool, tag: str):
+        out = flagship_pipeline(spark, FLAGSHIP_DOCS, fused=fused)
+        return out.select(
+            "doc_id",
+            digest_col(F.col("features")).alias(f"digest_{tag}"),
+            F.col("bucket_docs").alias(f"bd_{tag}"),
+            F.col("bucket_mean_len").alias(f"bm_{tag}"),
+        )
+
+    j = digested(True, "f").join(digested(False, "u"), "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("digest_f") == F.col("digest_u"), 1).otherwise(0)
+        ).cast("long").alias("n_digest_match"),
+        F.sum(
+            F.when(
+                F.col("bd_f").eqNullSafe(F.col("bd_u"))
+                & F.col("bm_f").eqNullSafe(F.col("bm_u")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_stats_match"),
+    )
+
+
+def _flagship_parity_sql() -> str:
+    from .queries import FLAGSHIP_DOCS
+
+    n = FLAGSHIP_DOCS
+    return f"""
+    SELECT CAST({n} AS BIGINT) AS n_docs,
+           CAST({n} AS BIGINT) AS n_digest_match,
+           CAST({n} AS BIGINT) AS n_stats_match
+    """
+
+
+_register("q_flagship_parity", q_flagship_parity, _flagship_parity_sql)
+
+
+def q_asof_cubic(spark, sf_dir):
+    """N8 cubic-interpolation as-of: the reference's DEFAULT interpolator
+    is a 3rd-order spline (tools/ExtractWindow.cxx:134-141); here the
+    non-uniform Catmull-Rom (cubic Hermite, chordal central-difference
+    tangents) over the 4-point stencil around each click, null short of
+    the full stencil. Oracle = LAG/LEAD over purchases + two DuckDB ASOF
+    joins + the same IEEE expression tree (asof._cubic_eval)."""
+    from ..operators.asof import asof_join_broadcast
+
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    out = asof_join_broadcast(
+        clicks, purchases, on="ts", by="user_id", direction="cubic"
+    )
+    from .queries import _TS_FMT_SPARK
+
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "click_value",
+        F.col("purchase_value").alias("purchase_cubic"),
+    ).orderBy("event_id")
+
+
+# The SELECT expressions mirror asof._cubic_eval TERM FOR TERM (same
+# association order) so both engines produce IEEE-identical doubles;
+# DuckDB's WINDOW clause + two ASOF joins assemble the 4-point stencil.
+_ASOF_CUBIC_SQL = f"""
+    WITH {_SQL_CLICKS_PURCHASES},
+    p2 AS (
+      SELECT user_id, ts, purchase_value,
+             LAG(ts) OVER w AS ts_prev, LAG(purchase_value) OVER w AS v_prev,
+             LEAD(ts) OVER w AS ts_next, LEAD(purchase_value) OVER w AS v_next
+      FROM purchases
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, c.ts, c.click_value,
+             epoch(c.ts) AS t,
+             epoch(b.ts_prev) AS t0, b.v_prev AS y0,
+             epoch(b.ts) AS t1, b.purchase_value AS y1,
+             epoch(f.ts) AS t2, f.purchase_value AS y2,
+             epoch(f.ts_next) AS t3, f.v_next AS y3
+      FROM clicks c
+      ASOF LEFT JOIN p2 b ON c.user_id = b.user_id AND c.ts >= b.ts
+      ASOF LEFT JOIN p2 f ON c.user_id = f.user_id AND c.ts <= f.ts
+    ),
+    k AS (
+      SELECT *, t2 - t1 AS h,
+             (t - t1) / (CASE WHEN t2 - t1 > 0 THEN t2 - t1 ELSE 1.0 END) AS s,
+             t2 - t0 AS dt20, t3 - t1 AS dt31
+      FROM j
+    ),
+    m AS (
+      SELECT *, s*s AS s2, (s*s)*s AS s3,
+             CASE WHEN dt20 > 0 THEN (y2 - y0) / dt20 ELSE 0.0 END AS m1,
+             CASE WHEN dt31 > 0 THEN (y3 - y1) / dt31 ELSE 0.0 END AS m2
+      FROM k
+    )
+    SELECT event_id, user_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+           click_value,
+           CASE WHEN t0 IS NOT NULL AND t3 IS NOT NULL THEN
+             CASE WHEN h > 0 THEN
+               (2.0*s3 - 3.0*s2 + 1.0) * y1
+               + ((s3 - 2.0*s2 + s) * h) * m1
+               + (-2.0*s3 + 3.0*s2) * y2
+               + ((s3 - s2) * h) * m2
+             ELSE y1 END
+           END AS purchase_cubic
+    FROM m ORDER BY event_id
+"""
+
+
+_register("q_asof_cubic", q_asof_cubic, _ASOF_CUBIC_SQL)

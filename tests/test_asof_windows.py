@@ -974,3 +974,133 @@ def test_nearest_event_distance_duplicate_ts(spark):
     got = {(r.kind): r.dist_to_marker for _, r in out.iterrows()}
     assert got["a"] == 0.0 and got["b"] == 0.0 and got["marker"] == 0.0
     assert got["c"] == 150.0
+
+
+# ---------------------------------------------------------------------------
+# Cubic (non-uniform Catmull-Rom) as-of interpolation — reference N8's
+# default 3rd-order interpolator (tools/ExtractWindow.cxx:134-141)
+# ---------------------------------------------------------------------------
+
+def _cubic_ref(t, ts, ys):
+    """Independent per-point reference: cubic Hermite with chordal
+    central-difference tangents, written WITHOUT the operator's vectorized
+    helper so the two derivations can disagree."""
+    import bisect
+
+    n = len(ts)
+    i2 = bisect.bisect_left(ts, t)
+    i1 = bisect.bisect_right(ts, t) - 1
+    if i1 < 1 or i2 > n - 2:
+        return None
+    t0, t1, t2, t3 = ts[i1 - 1], ts[i1], ts[i2], ts[i2 + 1]
+    y0, y1, y2, y3 = ys[i1 - 1], ys[i1], ys[i2], ys[i2 + 1]
+    h = t2 - t1
+    if h == 0:
+        return y1
+    s = (t - t1) / h
+    m1 = (y2 - y0) / (t2 - t0)
+    m2 = (y3 - y1) / (t3 - t1)
+    return (
+        (2 * s**3 - 3 * s**2 + 1) * y1
+        + (s**3 - 2 * s**2 + s) * h * m1
+        + (-2 * s**3 + 3 * s**2) * y2
+        + (s**3 - s**2) * h * m2
+    )
+
+
+def test_asof_cubic_known_values(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    # uniform grid + quadratic samples: central differences are exact
+    # derivatives, so Catmull-Rom REPRODUCES the quadratic
+    ts = [0.0, 10.0, 20.0, 30.0, 40.0]
+    ys = [t * t for t in ts]
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1] * 5, "ts": ts, "v": ys})
+    )
+    probes = [12.5, 15.0, 27.5, 10.0, 30.0, 5.0, 35.0, 0.0, 40.0, 50.0]
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1] * len(probes), "ts": probes})
+    )
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        out = {
+            r["ts"]: r["v"]
+            for r in fn(left, right, on="ts", by="entity_id", direction="cubic").collect()
+        }
+        # interior probes reproduce t^2 exactly (uniform grid)
+        for t in (12.5, 15.0, 27.5):
+            assert out[t] == pytest.approx(t * t, abs=1e-9), (fn.__name__, t)
+        # exact hits with a full stencil return the sample itself
+        assert out[10.0] == 100.0 and out[30.0] == 900.0, fn.__name__
+        # stencil short on either side (incl. boundary exact hits) -> null
+        for t in (5.0, 35.0, 0.0, 40.0, 50.0):
+            assert out[t] is None or np.isnan(out[t]), (fn.__name__, t)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_asof_cubic_randomized_property(spark, seed):
+    """Strategy parity (broadcast == cogroup bitwise) and agreement with an
+    independent scalar reference, including probes AT stencil boundaries."""
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join_broadcast,
+        asof_join_cogroup,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows_r, rows_l = [], []
+    series = {}
+    for e in range(6):
+        n = int(rng.integers(1, 12))
+        ts = np.sort(rng.choice(np.arange(0, 500, 1), size=n, replace=False)).astype(float)
+        ys = rng.normal(0, 100, n).round(3)
+        series[e] = (ts.tolist(), ys.tolist())
+        rows_r += [(e, t, y) for t, y in zip(ts, ys)]
+        probes = np.concatenate([
+            rng.uniform(-20, 520, 10),   # uniform probes
+            ts[: min(4, n)],             # exact hits
+            ts[: min(4, n)] + 0.25,      # just past samples
+        ])
+        rows_l += [(e, float(t)) for t in probes]
+    right = spark.createDataFrame(pd.DataFrame(rows_r, columns=["entity_id", "ts", "v"]))
+    left = spark.createDataFrame(pd.DataFrame(rows_l, columns=["entity_id", "ts"]))
+
+    res = {}
+    for fn in (asof_join_broadcast, asof_join_cogroup):
+        out = fn(left, right, on="ts", by="entity_id", direction="cubic").toPandas()
+        res[fn.__name__] = out.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    a, b = res["asof_join_broadcast"], res["asof_join_cogroup"]
+    assert len(a) == len(b) == len(rows_l)
+    av, bv = a["v"].to_numpy(), b["v"].to_numpy()
+    assert ((av == bv) | (np.isnan(av) & np.isnan(bv))).all()  # bitwise parity
+
+    for _, r in a.iterrows():
+        ts, ys = series[r["entity_id"]]
+        want = _cubic_ref(r["ts"], ts, ys)
+        if want is None:
+            assert np.isnan(r["v"]), r
+        else:
+            assert r["v"] == pytest.approx(want, rel=1e-12), r
+
+
+def test_asof_cubic_strategy_restrictions(spark):
+    from image_feature_extraction_spark.operators.asof import (
+        asof_join,
+        asof_join_auto,
+    )
+
+    left = spark.createDataFrame(pd.DataFrame({"entity_id": [1], "ts": [10.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity_id": [1] * 4, "ts": [0.0, 5.0, 15.0, 20.0], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    with pytest.raises(ValueError, match="cubic"):
+        asof_join(left, right, on="ts", by="entity_id", direction="cubic")
+    # auto above the broadcast cap must route cubic to cogroup, not bucketed
+    out = asof_join_auto(
+        left, right, on="ts", by="entity_id", direction="cubic",
+        broadcast_max_rows=2,
+    )
+    assert out._asof_strategy == "cogroup"
+    assert out.collect()[0]["v"] is not None

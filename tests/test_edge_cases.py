@@ -699,3 +699,14 @@ def test_octave_validation_failure_leaves_no_cache(spark, tmp_path):
     with pytest.raises(ValueError, match="Not enough values"):
         TX.read_octave_volume(spark, str(p))
     assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def test_auto_bucketed_routing_check_survives_dash_O(spark, monkeypatch):
+    """The strategy-routing check in q_asof_auto_bucketed must be an
+    explicit raise (an `assert` vanishes under python -O)."""
+    from image_feature_extraction_spark.operators import asof as A
+    from image_feature_extraction_spark.plans import queries_datapipe as QD
+
+    monkeypatch.setattr(A, "choose_asof_strategy", lambda *a, **k: "window")
+    with pytest.raises(RuntimeError, match="auto strategy probe"):
+        QD.q_asof_auto_bucketed(spark, "/root/testdata/sf0.001")

@@ -203,6 +203,7 @@ def main() -> None:
         "q_flagship_features",  # superseded by the timed flagship above
         "q_equalized_edges",    # synth-table demo
         "q_checkpoint_ledger",  # contract demo (tempdir write/resume)
+        "q_flagship_parity",    # contract demo (runs the flagship twice)
     }
     # Best-of-2 per query: the first run pays one-time plan/codegen/worker
     # costs and the host VM has minutes-scale throughput drift (documented

@@ -415,8 +415,13 @@ def embedding_neardup_pairs_bucketed(
     import numpy as np
     import pandas as pd
 
+    from ..session import widen_small_scan
     from .similarity import _table_buckets
 
+    # the per-table hyperplane bucket-id projection (Catalyst lambda dot
+    # products x n_tables) runs BEFORE the (tbl, bkt) exchange — on a
+    # sub-split input file it would execute on one core (VERDICT r2 #5)
+    df = widen_small_scan(df)
     if dim is None:
         # dim must match the vectors: a wrong dim makes every hyperplane
         # dot null -> every row lands in bucket 0 -> one all-pairs task

@@ -131,7 +131,13 @@ def test_streaming_pointintime_enrichment(spark, events_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("purchase_value"))
     )
-    sdf = ST.stream_events(spark, events_dir, batch.schema)
+    # one file per trigger -> 3 micro-batches: the daily-increment shape
+    # (SCALE.md), where each increment joins against the same stats table;
+    # parity must hold ACROSS micro-batch boundaries, not just availableNow
+    # in one gulp
+    sdf = ST.stream_events(
+        spark, events_dir, batch.schema, max_files_per_trigger=1
+    )
     clicks_stream = sdf.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", F.col("value").alias("click_value")
     )

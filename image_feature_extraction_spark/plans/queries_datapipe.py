@@ -1364,3 +1364,144 @@ _ASOF_CUBIC_SQL = f"""
 
 
 _register("q_asof_cubic", q_asof_cubic, _ASOF_CUBIC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequence assembly (training-sequence packing + chunking)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 256
+
+_SQL_PACK_TAPE = r"""
+    w AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words
+      FROM documents
+    ),
+    tape AS (
+      SELECT doc_id, source, n_words,
+             (SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_words)::BIGINT
+               AS tape_start
+      FROM w
+    )"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-pack assignment by tape packing (one window, integer
+    arithmetic, deterministic under any partitioning): per-doc
+    (tape_start, pack_id, pack_offset) at capacity 256 words per pack."""
+    from ..operators.dedup import words_of
+    from ..operators.sequences import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(words_of(F.col("text"))).cast("long").alias("n_words"),
+    )
+    out = pack_sequences(
+        d, capacity=PACK_CAPACITY, by="source", len_col="n_words",
+        order_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "source", "n_words", "tape_start", "pack_id", "pack_offset"
+    ).orderBy("doc_id")
+
+
+_register(
+    "q_pack_sequences",
+    q_pack_sequences,
+    f"""
+    WITH {_SQL_PACK_TAPE}
+    SELECT doc_id, source, n_words, tape_start,
+           (tape_start // {PACK_CAPACITY})::BIGINT AS pack_id,
+           (tape_start % {PACK_CAPACITY})::BIGINT AS pack_offset
+    FROM tape ORDER BY doc_id
+    """,
+)
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-pack assembly stats (docs, tokens, utilization — exact /256
+    division, power-of-two so the double is exact in both engines)."""
+    from ..operators.dedup import words_of
+    from ..operators.sequences import pack_sequences, pack_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(words_of(F.col("text"))).cast("long").alias("n_words"),
+    )
+    packed = pack_sequences(
+        d, capacity=PACK_CAPACITY, by="source", len_col="n_words",
+        order_col="doc_id",
+    )
+    out = pack_stats(
+        packed, capacity=PACK_CAPACITY, by="source", len_col="n_words",
+        order_col="doc_id",
+    )
+    return out.select(
+        "source", "pack_id", "n_docs",
+        F.col("pack_tokens").alias("pack_words"),
+        "first_doc", "last_doc", "utilization",
+    ).orderBy("source", "pack_id")
+
+
+_register(
+    "q_pack_stats",
+    q_pack_stats,
+    f"""
+    WITH {_SQL_PACK_TAPE},
+    p AS (
+      SELECT doc_id, source, n_words,
+             (tape_start // {PACK_CAPACITY})::BIGINT AS pack_id
+      FROM tape
+    )
+    SELECT source, pack_id, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_words)::BIGINT AS pack_words,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           SUM(n_words)::DOUBLE / {float(PACK_CAPACITY)} AS utilization
+    FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+)
+
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_text(spark, sf_dir):
+    """Overlapping word-window chunking (64-word windows every 48 words):
+    pure Catalyst sequence+slice+explode, md5 chunk digests (string md5 —
+    engine-portable, no float formatting)."""
+    from ..operators.sequences import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_text(d, chunk_words=CHUNK_WORDS, stride_words=CHUNK_STRIDE)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_n_words",
+        "chunk_digest",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_register(
+    "q_chunk_text",
+    q_chunk_text,
+    rf"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w,
+             UNNEST(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS cs
+      FROM words WHERE len(w) > 0
+    )
+    SELECT doc_id, (cs // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           cs::BIGINT AS chunk_start,
+           len(w[cs + 1 : cs + {CHUNK_WORDS}])::BIGINT AS chunk_n_words,
+           md5(array_to_string(w[cs + 1 : cs + {CHUNK_WORDS}], ' ')) AS chunk_digest
+    FROM starts ORDER BY doc_id, chunk_idx
+    """,
+)

@@ -112,13 +112,16 @@ def widen_small_scan(df, target: int | None = None):
     580 KB parquet file -> 32 tasks, 7.9s -> 0.7s). The exchange moves
     only the small input. Inputs that already scan wide — the 100 TB
     case, where an extra exchange would be catastrophic — pass through
-    untouched: few-but-LARGE files still split into many scan tasks, so
-    the guard checks total BYTES against one split (maxPartitionBytes),
-    NOT file count — Spark packs many tiny files into few scan partitions
-    (openCostInBytes bin-packing), so 40x1KB files would still scan nearly
-    serially if a file-count guard passed them through. Unstattable paths
-    (object stores without local access) and non-file sources (synth
-    mapInArrow tables) also pass through untouched."""
+    untouched. The wide/narrow decision asks Spark for the ACTUAL planned
+    scan partition count (openCostInBytes bin-packing makes any
+    driver-side model of it approximate, in both directions): an O(1)
+    check, so a 400k-file production scan pays no per-file work here. An
+    under-parallel scan is then widened only when its total bytes fit
+    inside one split (statted with an early exit at that bound) — a big
+    but under-split input keeps its plan, since repartitioning it would
+    move more data than the widening saves. Unstattable paths (object
+    stores without local access) and non-file sources (synth mapInArrow
+    tables) also pass through untouched."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
@@ -127,20 +130,23 @@ def widen_small_scan(df, target: int | None = None):
         return df
     if not files:
         return df
+    if df.rdd.getNumPartitions() >= target:
+        return df  # already scans wide — the common big-input case
     max_split = int(
         _parse_bytes(
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
         )
     )
-    try:
-        total = sum(
-            os.path.getsize(p[len("file:"):] if p.startswith("file:") else p)
-            for p in files
-        )
-    except OSError:
-        return df  # can't stat (remote store): assume Spark splits it
-    if total > max_split:
-        return df  # big enough to split into multiple scan tasks already
+    total = 0
+    for p in files:
+        try:
+            total += os.path.getsize(
+                p[len("file:"):] if p.startswith("file:") else p
+            )
+        except OSError:
+            return df  # can't stat (remote store): keep Spark's plan
+        if total > max_split:
+            return df  # big input: widening would outweigh the gain
     return df.repartition(target)
 
 

@@ -232,11 +232,13 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
     )
     # cache before the eager validation: the count below and the caller's
     # first action would otherwise both execute the (serial, single-
-    # partition-window) parse plan. The returned DataFrame stays cached and
-    # is CALLER-OWNED: unpersist it after the first materialization. The
-    # validation-error paths unpersist before raising so a rejected file
-    # never leaks a cache entry for the rest of the session.
-    vol = vol.cache()
+    # partition-window) parse plan. The cache is registered on the RETURNED
+    # plan (post-drop — Dataset.unpersist matches plans exactly, so caching
+    # the pre-drop frame would make the caller's unpersist a no-op): the
+    # returned DataFrame is cached and CALLER-OWNED; unpersist it after the
+    # first materialization. The validation-error paths unpersist before
+    # raising so a rejected file never leaks a cache entry.
+    vol = vol.drop("_k").cache()
     try:
         counts = vol.agg(
             F.count(F.lit(1)).alias("n_tok"), F.count("value").alias("n_parsed")
@@ -255,7 +257,7 @@ def read_octave_volume(spark: SparkSession, path: str) -> tuple[dict, DataFrame]
     except BaseException:
         vol.unpersist()
         raise
-    return header, vol.drop("_k")
+    return header, vol
 
 
 def write_text_matrix(

@@ -643,9 +643,10 @@ def test_asof_struct_payload_does_not_crash(spark):
 
 
 def test_widen_small_scan_many_tiny_files(spark, tmp_path):
-    """ADVICE r2: many tiny files pack into FEW scan partitions
-    (openCostInBytes bin-packing), so the guard must be byte-based — a
-    file count above target must not short-circuit the widening."""
+    """ADVICE r2: a file count above target must not short-circuit the
+    widening — the guard asks Spark for the ACTUAL planned scan partition
+    count, then widens under-parallel small inputs. Either way the result
+    must reach target parallelism without losing rows."""
     from image_feature_extraction_spark.session import widen_small_scan
 
     pdf = pd.DataFrame({"x": np.arange(64)})
@@ -655,8 +656,17 @@ def test_widen_small_scan_many_tiny_files(spark, tmp_path):
     df = spark.read.parquet(str(tmp_path / "tiny"))
     assert len(df.inputFiles()) >= 8
     out = widen_small_scan(df, target=8)
-    assert out.rdd.getNumPartitions() == 8
+    assert out.rdd.getNumPartitions() >= 8
     assert sorted(r["x"] for r in out.collect()) == list(range(64))
+    # a genuinely narrow scan (fewer files than target, all tiny) widens
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "narrow")
+    )
+    narrow = spark.read.parquet(str(tmp_path / "narrow"))
+    assert narrow.rdd.getNumPartitions() < 8
+    out2 = widen_small_scan(narrow, target=8)
+    assert out2.rdd.getNumPartitions() == 8
+    assert sorted(r["x"] for r in out2.collect()) == list(range(64))
 
 
 def test_blas_cosine_null_vector_is_null_not_nan(spark):
@@ -710,3 +720,21 @@ def test_auto_bucketed_routing_check_survives_dash_O(spark, monkeypatch):
     monkeypatch.setattr(A, "choose_asof_strategy", lambda *a, **k: "window")
     with pytest.raises(RuntimeError, match="auto strategy probe"):
         QD.q_asof_auto_bucketed(spark, "/root/testdata/sf0.001")
+
+
+def test_octave_success_cache_is_caller_unpersistable(spark, tmp_path):
+    """Review r3: the cache must be registered on the RETURNED plan, so a
+    caller's unpersist after first materialization actually releases it
+    (caching the pre-drop frame made that a silent no-op)."""
+    from image_feature_extraction_spark.sources import textual as TX
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    p = tmp_path / "ok.mat"
+    p.write_text(
+        "# c\n# name: v\n# type: matrix\n# ndims: 3\n 2 2 2\n1 2 3 4\n5 6 7 8\n"
+    )
+    header, df = TX.read_octave_volume(spark, str(p))
+    assert df.count() == 8
+    df.unpersist()
+    assert len(sc._jsc.getPersistentRDDs()) == before

@@ -88,13 +88,21 @@ def _cosine_blas_udf():
         if ok.any():
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in qa[ok]])
             C = np.stack([np.asarray(v, dtype=np.float64) for v in cb[ok]])
-            dot = np.einsum("ij,ij->i", Q, C)
-            nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-            nc = np.sqrt(np.einsum("ij,ij->i", C, C))
-            out[ok] = dot / (nq * nc)
+            out[ok] = _row_cosine(Q, C)
         return pd.Series(out, dtype=object)
 
     return cos
+
+
+def _row_cosine(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two equal-shape matrices. ONE definition shared
+    by the Spark-side pandas_udf paths AND the numpy oracle generators
+    (the IVF VALUES-literal oracle) — per-row einsum summation order is
+    fixed, so sharing the function makes Spark and oracle bit-identical."""
+    dot = np.einsum("ij,ij->i", Q, C)
+    nq = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    nc = np.sqrt(np.einsum("ij,ij->i", C, C))
+    return dot / (nq * nc)
 
 
 def cosine_topk(
@@ -285,4 +293,183 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer -> per-list candidate
+# search. The second scale path next to hyperplane LSH (lsh_topk): LSH
+# needs no training and gives analytic recall; IVF adapts its partitions
+# to the data distribution (clustered corpora get tighter candidate sets)
+# at the cost of a driver-side training step on a bounded sample.
+# ---------------------------------------------------------------------------
+
+def _ivf_sample_order(id_col):
+    """Deterministic uniform sample order: md5 of 'ivfsample:<id>' —
+    reproducible in pure Python by the oracle generator (xxhash64 would
+    not be), uniform regardless of id distribution."""
+    return F.md5(F.concat(F.lit("ivfsample:"), F.col(id_col).cast("string")))
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 100_000,
+    iters: int = 8,
+) -> "np.ndarray":
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    BOUNDED deterministic sample (hash-ordered limit — uniform, partition-
+    invariant, and replayable by the pure-numpy oracle). Deterministic by
+    construction: init = first n_lists sample rows in hash order, fixed
+    Lloyd iteration count, empty lists keep their previous centroid, ties
+    in assignment go to the lowest list id (np.argmax). Returns L2-
+    normalized centroids (n_lists, dim) float64.
+
+    At 10^12 rows the sample stays sample_cap rows (one bounded collect,
+    like the broadcast as-of cap); training cost is
+    O(cap * n_lists * dim * iters) on the driver — seconds for 1e5 x
+    4096 x 64."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(_ivf_sample_order("_id"), F.col("_id"))
+        .limit(sample_cap)
+        .toPandas()
+    )
+    if len(rows) < n_lists:
+        raise ValueError(
+            f"kmeans_centroids: sample has {len(rows)} usable vectors, "
+            f"need at least n_lists={n_lists}"
+        )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows["_v"]])
+    return _kmeans_np(X, n_lists, iters)
+
+
+def _kmeans_np(X: "np.ndarray", n_lists: int, iters: int) -> "np.ndarray":
+    """The pure-numpy Lloyd core of kmeans_centroids, shared with the IVF
+    oracle generator (same sample order in, bit-identical centroids out).
+    X: raw sample vectors in the deterministic sample order."""
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) < n_lists:
+        raise ValueError("kmeans_centroids: not enough non-zero vectors")
+    C = X[:n_lists].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
+
+
+def assign_ivf_lists(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Append the nearest-centroid list id (broadcast centroids, one numpy
+    matmul per Arrow batch — narrow, zero-shuffle). Null vectors get a
+    null list id (excluded from search)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    b_c = df.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        C_ = b_c.value
+        ok = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if ok.any():
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in v[ok]])
+            out[ok] = np.argmax(M @ C_.T, axis=1).astype(np.int64)
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroids: "np.ndarray | None" = None,
+    sample_cap: int = 100_000,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are binned by nearest centroid;
+    each query probes its n_probe nearest lists and rescores exact cosine
+    (shared _row_cosine) only within them — candidate work is
+    n_probe/n_lists of brute force. Output (query_id, rank, neighbor_id,
+    cosine) like cosine_topk; a neighbor is missed only if none of the
+    probed lists contain it.
+
+    Scale shape: assignment is a narrow matmul; the ONLY corpus shuffle
+    is the equi-join on list_id (at rest, store the corpus bucketed by
+    list_id and even that shuffle disappears); the top-k window shuffles
+    candidates on query_id (rows = n_queries x n_probe x avg list size).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_lists, vec_col=vec_col, id_col=id_col,
+            sample_cap=sample_cap, iters=iters,
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import widen_small_scan
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    b_c = corpus.sparkSession.sparkContext.broadcast(C)
+    np_probe = int(n_probe)
+
+    @pandas_udf("array<long>")
+    def probes(v: pd.Series) -> pd.Series:
+        C_ = b_c.value
+        ok = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if ok.any():
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in v[ok]])
+            sims = M @ C_.T
+            # stable argsort of -sims: ties go to the lower list id
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :np_probe]
+            # per-cell assignment: a bulk out[ok] = [rows...] would make
+            # numpy stack the rows into a 2-D array and reject it
+            for j, row in zip(np.flatnonzero(ok), top):
+                out[j] = row.astype(np.int64)
+        return pd.Series(out, dtype=object)
+
+    c = widen_small_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    c = assign_ivf_lists(c, C, vec_col="_cv")
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    ).withColumn("list_id", F.explode(probes(F.col("_qv"))))
+    cos = _cosine_blas_udf()
+    scored = (
+        q.join(c, "list_id")
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine", cos(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, "rank", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
     )

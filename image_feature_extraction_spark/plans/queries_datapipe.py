@@ -1505,3 +1505,96 @@ _register(
     FROM starts ORDER BY doc_id, chunk_idx
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (k-means coarse quantizer) — the trained scale path next to LSH
+# ---------------------------------------------------------------------------
+
+IVF_N, IVF_DIM = 400, 16
+IVF_LISTS, IVF_PROBE, IVF_K, IVF_ITERS = 16, 4, 5, 8
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate top-k over the deterministic synthetic embedding
+    table: spherical k-means lists (driver-trained on the bounded
+    hash-ordered sample), narrow matmul assignment, n_probe-list candidate
+    join, exact cosine rescore. Oracle = the SAME pipeline replayed in
+    pure numpy (shared _kmeans_np/_row_cosine, independent assignment/
+    probe/top-k derivation) emitted as a VALUES literal."""
+    from .. import synth
+    from ..operators.similarity import ivf_topk
+
+    corpus = synth.embedding_table(spark, IVF_N, IVF_DIM)
+    queries = corpus.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        corpus, queries, k=IVF_K, n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+        sample_cap=IVF_N, iters=IVF_ITERS,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+    ).orderBy("query_id", "rank")
+
+
+def _round_half_up6(v: float) -> float:
+    """Replicate Spark's ROUND(double, 6): shortest-repr decimal value,
+    HALF_UP at the 6th decimal (Python's round() is half-even and would
+    diverge on exact .5 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _knn_ivf_sql() -> str:
+    import hashlib
+
+    import numpy as np
+
+    from .. import synth
+    from ..operators.similarity import _kmeans_np, _row_cosine
+
+    pdf = synth.embedding_table_pandas(IVF_N, IVF_DIM)
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_list())
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"ivfsample:{ids[i]}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    C = _kmeans_np(M[order], IVF_LISTS, IVF_ITERS)
+    assign = np.argmax(M @ C.T, axis=1)
+    vals = []
+    for qi in range(0, IVF_N, 40):
+        qv = M[qi]
+        sims_c = np.stack([qv]) @ C.T
+        probe = np.argsort(-sims_c, axis=1, kind="stable")[0, :IVF_PROBE]
+        cand = np.flatnonzero(np.isin(assign, probe))
+        cand = cand[cand != qi]
+        cos = _row_cosine(np.repeat(qv[None, :], len(cand), axis=0), M[cand])
+        top = sorted(zip(cos, ids[cand]), key=lambda t: (-t[0], t[1]))[:IVF_K]
+        for rank, (cv, nid) in enumerate(top, start=1):
+            vals.append(
+                f"({int(ids[qi])}, {rank}, {int(nid)}, "
+                f"CAST({_round_half_up6(cv)!r} AS DOUBLE))"
+            )
+    return f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
+    FROM (VALUES {", ".join(vals)})
+         AS t(query_id, rank, neighbor_id, cosine)
+    ORDER BY query_id, rank
+    """
+
+
+_register("q_knn_ivf", q_knn_ivf, _knn_ivf_sql)

@@ -142,3 +142,44 @@ def doc_ids_of_source(n_docs: int, source: str) -> list[int]:
 
 def token_table_pandas_from_ids(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame([doc_row(int(i)) for i in ids])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic embedding synthesis (similarity/ANN fixtures)
+# ---------------------------------------------------------------------------
+
+def embedding_row(i: int, dim: int) -> np.ndarray:
+    """Deterministic float64 vector for embedding id i (md5-seeded PCG64,
+    same determinism contract as doc_row)."""
+    seed = _seed(f"emb:{i}")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(dim)
+
+
+def embedding_table_pandas(n: int, dim: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [embedding_row(i, dim) for i in range(n)],
+        }
+    )
+
+
+def embedding_table(spark, n: int, dim: int, partitions: int | None = None):
+    """Distributed deterministic embedding table (vec_id, embedding):
+    spark.range + mapInPandas, identical for any partition count."""
+    rng_df = spark.range(
+        0, n, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids.astype(np.int64),
+                    "embedding": [embedding_row(int(i), dim) for i in ids],
+                }
+            )
+
+    return rng_df.mapInPandas(gen, "vec_id long, embedding array<double>")

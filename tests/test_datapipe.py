@@ -356,3 +356,65 @@ def test_bpe_token_count_hand(spark):
     assert out.n_bpe_tokens == len(toks)
     assert out.n_words == 5
     assert out.fertility == out.n_bpe_tokens / 5.0
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF candidates are a subset of brute force; recall@5 over the
+    synthetic table must be high (clustered probes over 4/16 lists), and
+    the result must be identical across input partitionings (hash-ordered
+    sample => partition-invariant centroids)."""
+    from image_feature_extraction_spark import synth
+    from image_feature_extraction_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    corpus = synth.embedding_table(spark, 200, 8, partitions=4)
+    queries = corpus.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(
+        corpus, queries, k=5, n_lists=8, n_probe=3, sample_cap=200, iters=6
+    ).toPandas()
+    brute = cosine_topk(corpus, queries, k=5).toPandas()
+    hits = 0
+    for qid, grp in brute.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        hits += len(want & got)
+    recall = hits / len(brute)
+    assert recall >= 0.6, recall
+    # determinism under a different partitioning
+    corpus2 = synth.embedding_table(spark, 200, 8, partitions=13)
+    queries2 = corpus2.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf2 = ivf_topk(
+        corpus2, queries2, k=5, n_lists=8, n_probe=3, sample_cap=200, iters=6
+    ).toPandas()
+    a = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_null_vectors_and_validation(spark):
+    from image_feature_extraction_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(12),
+            "embedding": [[float(i), 1.0] if i != 5 else None for i in range(12)],
+        }
+    )
+    e = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, q, k=3, n_lists=2, n_probe=2, sample_cap=100, iters=4).toPandas()
+    assert 5 not in set(out["neighbor_id"])  # null vector excluded
+    assert len(out) == 3
+    with pytest.raises(ValueError, match="n_lists"):
+        kmeans_centroids(e, n_lists=50)

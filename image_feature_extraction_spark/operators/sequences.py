@@ -40,7 +40,8 @@ def pack_sequences(
     capacity: int,
     by: str = "source",
     len_col: str = "n_tok",
-    order_col: str = "doc_id",
+    order_col="doc_id",
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Assign each doc to a training pack of ``capacity`` tokens by tape
     packing within each ``by`` group, ordered by ``order_col``.
@@ -55,12 +56,36 @@ def pack_sequences(
     ``by``; skew note: a group = one window partition, so feed this
     per-source shards (or add a time-bucket to ``by``) when one group
     holds a whole corpus — the same discipline as sessionize.
+
+    DETERMINISM REQUIRES ``order_col`` (a column name or list of them) to
+    be unique within each ``by`` group: a running sum over a tied
+    ordering accumulates the tied rows in shuffle-delivery order, making
+    tape offsets partition-order-dependent. Pass
+    ``validate_unique=True`` to fail fast on ties (one extra aggregation
+    pass — off by default; doc_id-keyed tables are unique by
+    construction).
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    order_l = [order_col] if isinstance(order_col, str) else list(order_col)
+    if validate_unique:
+        dup = (
+            df.groupBy(by, *order_l)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                "pack_sequences: order key is not unique within group "
+                f"({by}={r[by]!r}, {order_l}={[r[c] for c in order_l]!r}) — "
+                "tape offsets would be partition-order-dependent"
+            )
     w = (
         Window.partitionBy(by)
-        .orderBy(order_col)
+        .orderBy(*order_l)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(F.col(len_col)).over(w) - F.col(len_col)).cast("long")

@@ -350,7 +350,14 @@ def kmeans_centroids(
 def _kmeans_np(X: "np.ndarray", n_lists: int, iters: int) -> "np.ndarray":
     """The pure-numpy Lloyd core of kmeans_centroids, shared with the IVF
     oracle generator (same sample order in, bit-identical centroids out).
-    X: raw sample vectors in the deterministic sample order."""
+    X: raw sample vectors in the deterministic sample order.
+
+    The centroid update is ONE scatter-add pass (np.add.at + bincount),
+    O(cap * dim) per iteration — a per-list boolean-mask loop would scan
+    the whole sample n_lists times per iteration (~3e9 comparisons at
+    cap=1e5, n_lists=4096)."""
+    if n_lists <= 0:
+        raise ValueError(f"n_lists must be positive, got {n_lists}")
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
     if len(X) < n_lists:
@@ -358,29 +365,34 @@ def _kmeans_np(X: "np.ndarray", n_lists: int, iters: int) -> "np.ndarray":
     C = X[:n_lists].copy()
     for _ in range(int(iters)):
         assign = np.argmax(X @ C.T, axis=1)
-        for j in range(n_lists):
-            members = X[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    C[j] = m / n
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_lists)
+        cn = np.linalg.norm(sums, axis=1)
+        upd = (counts > 0) & (cn > 0)
+        C[upd] = sums[upd] / cn[upd, None]
     return C
 
 
 def assign_ivf_lists(
     df: DataFrame,
-    centroids: "np.ndarray",
+    centroids,
     vec_col: str = "embedding",
     out_col: str = "list_id",
 ) -> DataFrame:
     """Append the nearest-centroid list id (broadcast centroids, one numpy
     matmul per Arrow batch — narrow, zero-shuffle). Null vectors get a
-    null list id (excluded from search)."""
+    null list id (excluded from search). ``centroids`` may be an ndarray
+    or an already-created Broadcast of one (ivf_topk passes its own so the
+    matrix ships to executors once, not twice)."""
+    from pyspark import Broadcast
     from pyspark.sql.functions import pandas_udf
 
-    C = np.ascontiguousarray(centroids, dtype=np.float64)
-    b_c = df.sparkSession.sparkContext.broadcast(C)
+    if isinstance(centroids, Broadcast):
+        b_c = centroids
+    else:
+        C = np.ascontiguousarray(centroids, dtype=np.float64)
+        b_c = df.sparkSession.sparkContext.broadcast(C)
 
     @pandas_udf("long")
     def assign(v: pd.Series) -> pd.Series:
@@ -420,6 +432,11 @@ def ivf_topk(
     list_id and even that shuffle disappears); the top-k window shuffles
     candidates on query_id (rows = n_queries x n_probe x avg list size).
     """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if n_probe <= 0:
+        # an empty probe array would silently drop every query row
+        raise ValueError(f"n_probe must be positive, got {n_probe}")
     if centroids is None:
         centroids = kmeans_centroids(
             corpus, n_lists, vec_col=vec_col, id_col=id_col,
@@ -452,7 +469,7 @@ def ivf_topk(
     c = widen_small_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    c = assign_ivf_lists(c, C, vec_col="_cv")
+    c = assign_ivf_lists(c, b_c, vec_col="_cv")
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).withColumn("list_id", F.explode(probes(F.col("_qv"))))

@@ -1372,6 +1372,10 @@ _register("q_asof_cubic", q_asof_cubic, _ASOF_CUBIC_SQL)
 
 PACK_CAPACITY = 256
 
+# the split expression is the shared words_of/SQL_WORDS tokenization
+# contract (dedup.words_of docstring) — SQL_WORDS itself projects only
+# (doc_id, w), and the tape also needs source, hence the inline twin;
+# change them in lockstep
 _SQL_PACK_TAPE = r"""
     w AS (
       SELECT doc_id, source,
@@ -1489,10 +1493,7 @@ _register(
     "q_chunk_text",
     q_chunk_text,
     rf"""
-    WITH words AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      FROM documents
-    ),
+    WITH words AS ({SQL_WORDS}),
     starts AS (
       SELECT doc_id, w,
              UNNEST(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS cs

@@ -130,3 +130,18 @@ def test_chunk_text_digest_matches_manual(spark):
     # whitespace-only text -> single empty word -> one chunk (documented
     # engine-shared wart of the words_of contract)
     assert (out["doc_id"] == 2).sum() == 1
+
+
+def test_pack_sequences_tie_validation(spark):
+    """Review r3: a tied order key makes tape offsets partition-order-
+    dependent; validate_unique=True must fail fast on ties and pass on
+    unique keys."""
+    tied = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1, 2], "source": ["a", "a", "a"], "n_tok": [5, 6, 7]}
+        )
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        pack_sequences(tied, capacity=10, validate_unique=True)
+    ok = pack_sequences(_docs(spark), capacity=256, validate_unique=True)
+    assert ok.count() == 8

@@ -200,3 +200,41 @@ def test_streaming_dedup_exact_parity(spark, tmp_path):
 
     n_batch = batch.select(F.md5("text")).distinct().count()
     assert n_batch == len(got)
+
+
+def test_streaming_chunk_text_parity(spark, tmp_path):
+    """chunk_text is a stateless narrow projection, so it composes with
+    readStream unchanged; availableNow output must equal the batch run."""
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.sequences import chunk_text
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(9),
+            "text": [" ".join(f"w{i}_{j}" for j in range(5 + 7 * (i % 3))) for i in range(9)],
+        }
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).repartition(3).write.parquet(d)
+    batch = spark.read.parquet(d)
+    sdf = ST.stream_events(spark, d, batch.schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        chunk_text(sdf, chunk_words=4, stride_words=3).drop("text"),
+        "chunk_stream",
+        "append",
+    )
+    got = (
+        spark.table("chunk_stream")
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        chunk_text(batch, chunk_words=4, stride_words=3)
+        .drop("text")
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

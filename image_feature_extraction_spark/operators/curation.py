@@ -1,0 +1,325 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+signals, eval-set decontamination, deterministic splits, source
+temperature sampling, and PII scrubbing.
+
+These are the filter/label stages a web-scale pretraining pipeline runs
+between raw ingestion and tokenization (the repetition and quality
+heuristics follow the published Gopher/C4 rule families; the
+decontamination op is the standard n-gram-overlap check against held-out
+eval sets; temperature sampling is the multinomial source-reweighting
+used by multilingual/multi-source corpus mixers). The reference's
+analogue is its mask/membership filter stage (cited for parity:
+/root/reference/tools/ExtractMaskedRegion.cxx:50-72 — keep/drop rows by
+a computed membership label); these operators generalize "computed
+membership" to content-derived signals.
+
+Cross-engine determinism contract (same as operators/dedup.py): every
+hash is md5-derived via ``dedup.md5_long``, reproducible bit-for-bit in
+DuckDB; every float is either an exact division of integers or built
+from an expression tree with identical IEEE operations on both engines
+(sqrt, divide, subtract are all exactly rounded); booleans compare
+UNROUNDED doubles that are bit-identical by construction.
+
+Scale notes (10^12 docs):
+- repetition_stats / scrub_text: narrow per-row projections plus (for
+  repetition) one groupBy(doc_id[, gram]) family — partial aggregation
+  applies, shuffle is keyed, never all-pairs.
+- decontaminate: the eval-set gram table is SMALL (benchmarks are
+  thousands of docs, not billions) -> broadcast; the train side is never
+  shuffled except the per-doc count aggregation.
+- hash_split / temperature_sample: pure projections; the source-count
+  table feeding temperature weights is |sources| rows -> broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, shingles, words_of
+
+
+def _grams_expr(w, n: int):
+    """Overlapping word n-grams of an already-split words column, WITHOUT
+    de-duplication (repetition analysis needs multiplicities; contrast
+    dedup.shingles which is distinct-by-construction)."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Per-doc repetition signals over word n-grams (Gopher-style "rep"
+    family, adapted to single-line corpora where line/paragraph signals
+    degenerate):
+
+    - n_grams_total / n_grams_distinct and the duplicate-gram fraction
+      ``1 - distinct/total`` (0 for a text with no repeated n-gram);
+    - the most frequent n-gram (ties -> lexicographically smallest) and
+      the fraction of document characters covered by its occurrences
+      (``count * length(gram) / n_chars``), the "top n-gram character
+      fraction" filter signal.
+
+    One explode + two doc-keyed aggregations; the row_number window and
+    both groupBys share the doc_id-prefixed key, so this is a single
+    logical repartition by doc at scale. Docs with fewer than n words
+    yield zero-gram rows (counts 0, top_gram NULL) via the left join.
+    """
+    from ..session import widen_small_scan
+
+    df = widen_small_scan(df)
+    base = df.select(
+        "doc_id", F.length(F.col(text_col)).alias("_nc"), words_of(F.col(text_col)).alias("_w")
+    )
+    grams = base.select(
+        "doc_id", "_nc", F.explode(_grams_expr(F.col("_w"), n)).alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "_nc", "g").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    )
+    agg = (
+        cnt.withColumn("_rn", rn)
+        .groupBy("doc_id", "_nc")
+        .agg(
+            F.sum("c").alias("n_grams_total"),
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.max(F.when(F.col("_rn") == 1, F.col("g"))).alias("top_gram"),
+            F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("top_gram_count"),
+        )
+    )
+    keys = df.select("doc_id", F.length(F.col(text_col)).alias("_nc"))
+    out = keys.join(agg, ["doc_id", "_nc"], "left")
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.col("n_grams_distinct").cast("double")
+        / F.col("n_grams_total").cast("double"),
+        6,
+    )
+    top_frac = F.round(
+        (F.col("top_gram_count") * F.length("top_gram")).cast("double")
+        / F.col("_nc").cast("double"),
+        6,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_grams_total"), F.lit(0)).cast("long").alias("n_grams_total"),
+        F.coalesce(F.col("n_grams_distinct"), F.lit(0)).cast("long").alias("n_grams_distinct"),
+        dup_frac.alias("dup_gram_frac"),
+        "top_gram",
+        F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("long").alias("top_gram_count"),
+        top_frac.alias("top_gram_char_frac"),
+    )
+
+
+def eval_membership(key_col, mod: int = 20, salt: str = ":eval"):
+    """Deterministic eval-set membership: md5(key || salt) % mod == 0.
+    The salt keeps this hash stream independent of every other md5 use
+    (split buckets, sampling) on the same key."""
+    return md5_long(F.concat(key_col, F.lit(salt))) % mod == 0
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    eval_mod: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the (deterministically chosen) eval subset.
+
+    The eval subset is docs with ``eval_membership(doc_id)`` true
+    (~1/eval_mod of the corpus — standing in for an external benchmark
+    suite, which at web scale is ALWAYS tiny relative to the corpus).
+    Output: one row per NON-eval doc with its distinct n-gram count, the
+    count appearing anywhere in the eval set, the contaminated fraction,
+    and the boolean flag (any overlap -> contaminated, the conservative
+    standard rule).
+
+    Plan shape: eval grams -> distinct -> broadcast; train grams join the
+    broadcast (no shuffle of the big side beyond the per-doc count
+    aggregation, which partial-aggregates map-side).
+    """
+    ev = eval_membership(F.col("doc_id"), eval_mod)
+    marked = docs.withColumn("_ev", ev)
+    eval_grams = (
+        shingles(marked.filter(F.col("_ev")), text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = marked.filter(~F.col("_ev"))
+    tg = shingles(train, text_col, n)
+    per_doc = (
+        tg.join(F.broadcast(eval_grams), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    out = train.select("doc_id").join(per_doc, "doc_id", "left")
+    contam_frac = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+        contam_frac.alias("contam_frac"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+# (label, cumulative-bucket-threshold) pairs over HASH_SPLIT_BUCKETS.
+HASH_SPLIT_BUCKETS = 10000
+DEFAULT_SPLITS = (("train", 9000), ("val", 9500), ("test", HASH_SPLIT_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits=DEFAULT_SPLITS,
+    salt: str = ":split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5(key||salt)
+    % HASH_SPLIT_BUCKETS, then the first split whose cumulative threshold
+    exceeds the bucket. Pure projection — reproducible across runs,
+    partitionings, and engines; docs never migrate between splits when
+    the corpus grows (the property random sampling lacks)."""
+    b = md5_long(F.concat(F.col(key_col), F.lit(salt))) % HASH_SPLIT_BUCKETS
+    expr = None
+    for label, cum in splits:
+        cond = b < cum
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn("split_bucket", b.cast("long")).withColumn("split", expr)
+
+
+def source_temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = ":tsample",
+) -> DataFrame:
+    """Temperature-style source rebalancing at alpha = 0.5: keep each row
+    of source s with probability ``sqrt(c_min / c_s)`` where c_s is the
+    source's row count and c_min the smallest source's — i.e. sampled
+    source mass ∝ sqrt(c_s), the classic T=2 flattening that keeps the
+    rarest source intact while downsampling the head. The keep decision
+    is a deterministic hash coin: md5(key||salt) % 1e6 / 1e6 < keep_prob.
+
+    IEEE parity note: keep_prob is ``sqrt(c_min/c_s)`` with division and
+    sqrt both exactly rounded, and the comparison uses the UNROUNDED
+    double on both engines, so kept flags are bit-reproducible; the
+    keep_prob column itself is rounded only for wire stability.
+
+    Plan shape: one |sources|-row count aggregate (partial-agg'd
+    map-side), its min taken over that tiny frame, broadcast back — the
+    big table is never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    weights = counts.crossJoin(F.broadcast(cmin)).select(
+        source_col,
+        "_c",
+        F.sqrt(F.col("_cmin").cast("double") / F.col("_c").cast("double")).alias(
+            "_keep_prob"
+        ),
+    )
+    frac = (md5_long(F.concat(F.col(key_col), F.lit(salt))) % 1000000).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    return (
+        df.join(F.broadcast(weights), source_col)
+        .withColumn("_frac", frac)
+        .select(
+            key_col,
+            source_col,
+            F.col("_c").cast("long").alias("n_source_docs"),
+            F.round(F.col("_keep_prob"), 6).alias("keep_prob"),
+            (F.col("_frac") < F.col("_keep_prob")).alias("kept"),
+        )
+    )
+
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences, ASCII classes only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-shaped digit runs to
+    typed placeholder tokens, counting each. Order matters and is fixed:
+    emails first (their local parts may contain digits), then IPs, then
+    phones (an IP octet pair could otherwise shadow a phone match).
+    Pure per-row projection — codegen'd, no shuffle, no Python."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
+def token_ngram_novelty(tokens_df: DataFrame, n: int = 4) -> DataFrame:
+    """Token-level n-gram novelty (the signal behind suffix-array-style
+    training-data dedup, Lee et al. 2022, computed at n-gram granularity):
+    for each doc, the fraction of its DISTINCT token n-grams whose
+    first owner (minimum doc_id over all docs containing the gram) is
+    this doc. A doc full of already-seen n-grams scores near 0 and is a
+    near-dup / boilerplate candidate; novel content scores near 1.
+
+    Input: the pre-tokenized sequence table (doc_id, tokens array<int>).
+    Grams are keyed by the md5 hash of the comma-joined token ids — the
+    gram table shuffles on that hash (uniform by construction), with
+    map-side partial aggregation for both the per-gram min-owner and the
+    per-doc counts. No all-pairs stage at any scale.
+    """
+    w = F.col("tokens")
+    gram_strs = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                ",", *[F.element_at(w, i + j).cast("string") for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tokens_df.select(
+        "doc_id", F.explode(F.array_distinct(gram_strs)).alias("g")
+    ).select("doc_id", md5_long(F.col("g")).alias("gh"))
+    owner = grams.groupBy("gh").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        grams.join(owner, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    out = tokens_df.select("doc_id").join(per_doc, "doc_id", "left")
+    frac = F.round(
+        F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        frac.alias("novelty_frac"),
+    )

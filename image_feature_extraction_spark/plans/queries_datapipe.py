@@ -1599,3 +1599,263 @@ def _knn_ivf_sql() -> str:
 
 
 _register("q_knn_ivf", q_knn_ivf, _knn_ivf_sql)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition signals, decontamination, splits, temperature
+# sampling, PII scrubbing, token-level n-gram novelty (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import curation as CU  # noqa: E402
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals over word bigrams: duplicate-gram
+    fraction + top-gram character fraction per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.repetition_stats(d, n=2).orderBy("doc_id")
+
+
+_register(
+    "q_repetition",
+    q_repetition,
+    r"""
+    WITH words AS (
+      SELECT doc_id, length(text) AS nc,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, nc, w[i] || ' ' || w[i+1] AS g
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, nc, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+      FROM cnt
+    ),
+    agg AS (
+      SELECT doc_id, nc, SUM(c) AS tot, COUNT(*) AS dst,
+             MAX(CASE WHEN rn = 1 THEN g END) AS top_g,
+             MAX(CASE WHEN rn = 1 THEN c END) AS top_c
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT w.doc_id,
+           COALESCE(tot, 0)::BIGINT AS n_grams_total,
+           COALESCE(dst, 0)::BIGINT AS n_grams_distinct,
+           ROUND(1.0 - dst::DOUBLE / tot::DOUBLE, 6) AS dup_gram_frac,
+           top_g AS top_gram,
+           COALESCE(top_c, 0)::BIGINT AS top_gram_count,
+           ROUND((top_c * length(top_g))::DOUBLE / w.nc::DOUBLE, 6)
+             AS top_gram_char_frac
+    FROM words w LEFT JOIN agg ON agg.doc_id = w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+
+
+DECONTAM_N, DECONTAM_MOD = 5, 20
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: per non-eval doc, 5-gram overlap with the
+    deterministic ~5% eval subset (broadcast of the small eval gram set)."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.decontaminate(d, n=DECONTAM_N, eval_mod=DECONTAM_MOD).orderBy("doc_id")
+
+
+_register(
+    "q_decontaminate",
+    q_decontaminate,
+    f"""
+    WITH words AS ({SQL_WORDS}),
+    marked AS (
+      SELECT doc_id, w,
+             ({MD5L.format(x="doc_id || ':eval'")} % {DECONTAM_MOD} = 0) AS ev
+      FROM words
+    ),
+    grams5 AS (
+      SELECT DISTINCT doc_id, ev,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS g
+      FROM marked, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ),
+    ev_g AS (SELECT DISTINCT g FROM grams5 WHERE ev),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN g IN (SELECT g FROM ev_g) THEN 1 ELSE 0 END)
+               AS n_cont
+      FROM grams5 WHERE NOT ev GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           COALESCE(n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(n_cont, 0)::BIGINT AS n_contaminated,
+           ROUND(n_cont::DOUBLE / n_grams::DOUBLE, 6) AS contam_frac,
+           COALESCE(n_cont, 0) > 0 AS is_contaminated
+    FROM marked m LEFT JOIN agg ON agg.doc_id = m.doc_id
+    WHERE NOT m.ev
+    ORDER BY m.doc_id
+    """,
+)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (90/5/5): stable
+    under corpus growth, reproducible across engines."""
+    d = _t(spark, sf_dir, "documents")
+    out = CU.hash_split(d)
+    return out.select("doc_id", "source", "split_bucket", "split").orderBy("doc_id")
+
+
+_register(
+    "q_hash_split",
+    q_hash_split,
+    f"""
+    SELECT doc_id, source, b::BIGINT AS split_bucket,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+             {MD5L.format(x="doc_id || ':split'")} % {CU.HASH_SPLIT_BUCKETS} AS b
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Source temperature sampling at alpha=0.5: keep_prob =
+    sqrt(c_min/c_s) per source, deterministic hash coin per doc. The kept
+    flag compares UNROUNDED doubles built from identical IEEE expression
+    trees on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.source_temperature_sample(d).orderBy("doc_id")
+
+
+_register(
+    "q_temperature_sample",
+    q_temperature_sample,
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    m AS (SELECT MIN(c) AS cmin FROM c),
+    w AS (SELECT source, c, sqrt(cmin::DOUBLE / c::DOUBLE) AS kp FROM c, m)
+    SELECT d.doc_id, d.source, w.c::BIGINT AS n_source_docs,
+           ROUND(kp, 6) AS keep_prob,
+           (({MD5L.format(x="d.doc_id || ':tsample'")} % 1000000)::DOUBLE
+             / 1000000.0) < kp AS kept
+    FROM documents d JOIN w USING (source)
+    ORDER BY d.doc_id
+    """,
+)
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrubbing: the corpus text is synthetic words with no PII, so
+    the query injects a deterministic email / IPv4 / phone per doc
+    (derived from md5(doc_id), identically in both engines) and then
+    scrubs them back out — exercising match, replace, and count on
+    content the oracle can reproduce exactly."""
+    d = _t(spark, sf_dir, "documents")
+    h = D.md5_long(F.col("doc_id").cast("string"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact "), F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.20."),
+        (h % 256).cast("string"), F.lit("."),
+        (F.shiftright(h, 8) % 256).cast("string"),
+        F.lit(" ext 555-01"), F.lpad((h % 100).cast("string"), 2, "0"),
+    )
+    out = CU.scrub_pii(d.withColumn("text", aug))
+    return out.orderBy("doc_id")
+
+
+def _scrub_pii_sql() -> str:
+    md5h = MD5L.format(x="doc_id::VARCHAR")
+    email, ipv4, phone = CU.PII_EMAIL, CU.PII_IPV4, CU.PII_PHONE
+    return (
+        """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact ' || doc_id || '@example.com via 10.20.'
+                  || (h % 256)::VARCHAR || '.' || ((h >> 8) % 256)::VARCHAR
+                  || ' ext 555-01' || lpad((h % 100)::VARCHAR, 2, '0') AS t
+      FROM (SELECT doc_id, text, """ + md5h + """ AS h FROM documents)
+    ),
+    s1 AS (
+      SELECT doc_id, len(regexp_extract_all(t, '""" + email + """')) AS n_emails,
+             regexp_replace(t, '""" + email + """', '<EMAIL>', 'g') AS t
+      FROM aug
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t, '""" + ipv4 + """')) AS n_ipv4,
+             regexp_replace(t, '""" + ipv4 + """', '<IP>', 'g') AS t
+      FROM s1
+    )
+    SELECT doc_id, n_emails::BIGINT AS n_emails, n_ipv4::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t, '""" + phone + """'))::BIGINT AS n_phones,
+           regexp_replace(t, '""" + phone + """', '<PHONE>', 'g') AS clean_text
+    FROM s2 ORDER BY doc_id
+    """
+    )
+
+
+_register("q_scrub_pii", q_scrub_pii, _scrub_pii_sql)
+
+
+NOVELTY_DOCS, NOVELTY_N = 128, 4
+
+
+def q_token_novelty(spark, sf_dir):
+    """Token-level n-gram novelty over the pre-tokenized sequence table
+    (the signal behind suffix-array-style training-data dedup): fraction
+    of each doc's distinct token 4-grams first owned by that doc. Oracle
+    = VALUES literal from an independent pure-Python replay over the same
+    deterministic synth model (q_checkpoint_ledger pattern)."""
+    from .. import synth
+
+    df = synth.token_table(spark, NOVELTY_DOCS)
+    return CU.token_ngram_novelty(df, n=NOVELTY_N).orderBy("doc_id")
+
+
+def _token_novelty_sql() -> str:
+    import hashlib
+
+    from .. import synth
+
+    per_doc = []
+    owner: dict = {}
+    for i in range(NOVELTY_DOCS):
+        r = synth.doc_row(i)
+        toks = [int(t) for t in r["tokens"]]
+        gs = set()
+        for j in range(len(toks) - (NOVELTY_N - 1)):
+            g = ",".join(str(t) for t in toks[j : j + NOVELTY_N])
+            gs.add(int(hashlib.md5(g.encode()).hexdigest()[:8], 16))
+        per_doc.append((r["doc_id"], gs))
+        for gh in gs:
+            if gh not in owner or r["doc_id"] < owner[gh]:
+                owner[gh] = r["doc_id"]
+    vals = []
+    for doc_id, gs in per_doc:
+        n = len(gs)
+        nov = sum(1 for gh in gs if owner[gh] == doc_id)
+        frac = "CAST(NULL AS DOUBLE)" if n == 0 else (
+            f"CAST({_round_half_up6(nov / n)!r} AS DOUBLE)"
+        )
+        vals.append(f"('{doc_id}', {n}, {nov}, {frac})")
+    return f"""
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel, novelty_frac
+    FROM (VALUES {", ".join(vals)})
+         AS t(doc_id, n_grams, n_novel, novelty_frac)
+    ORDER BY doc_id
+    """
+
+
+_register("q_token_novelty", q_token_novelty, _token_novelty_sql)

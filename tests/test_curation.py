@@ -1,0 +1,169 @@
+"""Tests for the corpus-curation operators (operators/curation.py):
+repetition signals, decontamination, hash split, temperature sampling,
+PII scrubbing, token n-gram novelty."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from image_feature_extraction_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b a b a b", "s1"),           # heavy bigram repetition
+        (2, "w x y z q r", "s1"),           # all bigrams unique
+        (3, "one", "s2"),                   # fewer words than n -> no grams
+        (4, "m m m m", "s2"),               # single repeated bigram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# -- repetition_stats --------------------------------------------------------
+
+def test_repetition_hand_values(spark, docs):
+    out = C.repetition_stats(docs, n=2).toPandas().set_index("doc_id")
+    # doc 1: grams = [a b, b a, a b, b a, a b] -> total 5, distinct 2
+    r1 = out.loc[1]
+    assert r1["n_grams_total"] == 5 and r1["n_grams_distinct"] == 2
+    assert r1["dup_gram_frac"] == pytest.approx(1 - 2 / 5)
+    # top gram: "a b" x3 (beats "b a" x2); chars = 3*3 / len("a b a b a b")=11
+    assert r1["top_gram"] == "a b" and r1["top_gram_count"] == 3
+    assert r1["top_gram_char_frac"] == pytest.approx(round(9 / 11, 6))
+    # doc 2: all distinct -> dup fraction 0, tie on count -> lexicographically
+    # smallest gram wins
+    r2 = out.loc[2]
+    assert r2["dup_gram_frac"] == 0.0 and r2["top_gram"] == "q r"
+    # doc 3: no grams, still present with zero counts and NULL top gram
+    r3 = out.loc[3]
+    assert r3["n_grams_total"] == 0 and r3["top_gram"] is None
+    # doc 4: one distinct gram repeated 3x
+    r4 = out.loc[4]
+    assert r4["n_grams_total"] == 3 and r4["n_grams_distinct"] == 1
+    assert r4["dup_gram_frac"] == pytest.approx(round(1 - 1 / 3, 6))
+
+
+# -- decontaminate -----------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    # Force membership: find ids whose md5(id||':eval') % 2 differs so we
+    # get at least one eval and one train doc with/without overlap.
+    base = "alpha beta gamma delta epsilon zeta"
+    rows, eval_ids, train_ids = [], [], []
+    for i in range(1, 30):
+        (eval_ids if md5_32(f"{i}:eval") % 2 == 0 else train_ids).append(i)
+    assert eval_ids and train_ids
+    contaminated, clean = train_ids[0], train_ids[1]
+    for i in eval_ids:
+        rows.append((i, base))
+    rows.append((contaminated, base + " extra tail words here"))
+    rows.append((clean, "totally different content with no shared five gram runs"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        C.decontaminate(df, n=5, eval_mod=2).toPandas().set_index("doc_id")
+    )
+    # eval docs are excluded from the output
+    assert set(out.index) == {contaminated, clean}
+    assert bool(out.loc[contaminated, "is_contaminated"])
+    assert out.loc[contaminated, "n_contaminated"] > 0
+    assert not bool(out.loc[clean, "is_contaminated"])
+    assert out.loc[clean, "n_contaminated"] == 0
+
+
+# -- hash_split --------------------------------------------------------------
+
+def test_hash_split_deterministic_and_complete(spark, docs):
+    out = C.hash_split(docs).toPandas()
+    assert set(out["split"]).issubset({"train", "val", "test"})
+    # matches the reference hash computation exactly
+    for _, row in out.iterrows():
+        b = md5_32(f"{row['doc_id']}:split") % C.HASH_SPLIT_BUCKETS
+        assert row["split_bucket"] == b
+        expect = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert row["split"] == expect
+    # stable across runs/partitionings
+    again = C.hash_split(docs.repartition(3)).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_2"))
+    assert (merged["split"] == merged["split_2"]).all()
+
+
+# -- source_temperature_sample ----------------------------------------------
+
+def test_temperature_sample_probabilities(spark):
+    rows = [(i, "s_big" if i < 90 else "s_small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.source_temperature_sample(df).toPandas()
+    big = out[out["source"] == "s_big"]
+    small = out[out["source"] == "s_small"]
+    # smallest source keeps everything (keep_prob == 1.0)
+    assert (small["keep_prob"] == 1.0).all() and small["kept"].all()
+    # head source downsampled to sqrt(10/90)
+    import math
+
+    assert big["keep_prob"].iloc[0] == pytest.approx(
+        round(math.sqrt(10 / 90), 6)
+    )
+    # kept flag reproduces the hash coin exactly
+    for _, row in big.iterrows():
+        frac = (md5_32(f"{row['doc_id']}:tsample") % 1000000) / 1000000.0
+        assert bool(row["kept"]) == (frac < math.sqrt(10.0 / 90.0))
+
+
+# -- scrub_pii ---------------------------------------------------------------
+
+def test_scrub_pii_counts_and_replacement(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@sub.example.org or 192.168.0.1 call 555-1234"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.co one ip 8.8.8.8 and 555-0000 555-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.scrub_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_ipv4"] == 1
+    assert out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "clean_text"] == (
+        "mail me at <EMAIL> or <IP> call <PHONE>"
+    )
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "clean_text"] == rows[1][1]
+    assert (
+        out.loc[3, "n_emails"],
+        out.loc[3, "n_ipv4"],
+        out.loc[3, "n_phones"],
+    ) == (2, 1, 2)
+
+
+# -- token_ngram_novelty -----------------------------------------------------
+
+def test_token_novelty_hand_values(spark):
+    rows = [
+        (1, [1, 2, 3, 4, 5]),      # grams: 1234, 2345 — both first-owned by 1
+        (2, [1, 2, 3, 4, 9]),      # grams: 1234 (owned by 1), 2349 (novel)
+        (3, [7, 8]),               # too short -> no grams
+        (4, [1, 2, 3, 4, 5]),      # exact dup of 1 -> nothing novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = C.token_ngram_novelty(df, n=4).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_novel"] == 2
+    assert out.loc[1, "novelty_frac"] == 1.0
+    assert out.loc[2, "n_grams"] == 2 and out.loc[2, "n_novel"] == 1
+    assert out.loc[2, "novelty_frac"] == 0.5
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_novel"] == 0
+    assert out.loc[4, "n_novel"] == 0 and out.loc[4, "novelty_frac"] == 0.0
+
+
+def test_token_novelty_partition_invariant(spark):
+    rows = [(i, [int(x) for x in range(i, i + 8)]) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    a = C.token_ngram_novelty(df, n=4).toPandas().sort_values("doc_id")
+    b = (
+        C.token_ngram_novelty(df.repartition(7), n=4)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

@@ -123,11 +123,27 @@ def eval_membership(key_col, mod: int = 20, salt: str = ":eval"):
     return md5_long(F.concat(key_col, F.lit(salt))) % mod == 0
 
 
+def eval_gram_set(
+    docs: DataFrame, text_col: str = "text", n: int = 5, eval_mod: int = 20
+) -> DataFrame:
+    """Distinct n-grams of the deterministic eval subset — the SMALL,
+    static side of decontamination, computed once and broadcast against a
+    batch or a stream of incoming training docs."""
+    ev = eval_membership(F.col("doc_id"), eval_mod)
+    return (
+        shingles(docs.filter(ev), text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 5,
     eval_mod: int = 20,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     n-gram with the (deterministically chosen) eval subset.
@@ -143,16 +159,19 @@ def decontaminate(
     Plan shape: eval grams -> distinct -> broadcast; train grams join the
     broadcast (no shuffle of the big side beyond the per-doc count
     aggregation, which partial-aggregates map-side).
+
+    Streaming: pass a precomputed STATIC ``eval_grams`` (from
+    ``eval_gram_set``) and a streaming ``docs`` — the stream is then
+    treated wholly as the train side (no membership filter), the join is
+    a supported stream-static broadcast join, and the per-doc
+    aggregation runs in update/complete output mode (tested in
+    tests/test_streaming.py).
     """
-    ev = eval_membership(F.col("doc_id"), eval_mod)
-    marked = docs.withColumn("_ev", ev)
-    eval_grams = (
-        shingles(marked.filter(F.col("_ev")), text_col, n)
-        .select("shingle")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    train = marked.filter(~F.col("_ev"))
+    if eval_grams is None:
+        eval_grams = eval_gram_set(docs, text_col, n, eval_mod)
+        train = docs.filter(~eval_membership(F.col("doc_id"), eval_mod))
+    else:
+        train = docs
     tg = shingles(train, text_col, n)
     per_doc = (
         tg.join(F.broadcast(eval_grams), "shingle", "left")
@@ -162,7 +181,15 @@ def decontaminate(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
-    out = train.select("doc_id").join(per_doc, "doc_id", "left")
+    if train.isStreaming:
+        # Re-joining the doc keys against the aggregated stream would be a
+        # stream-stream join (unsupported with aggregation output modes).
+        # Only docs with fewer than n words are affected: they produce no
+        # grams and are absent from the streaming output, vs a zero-count
+        # row in batch.
+        out = per_doc
+    else:
+        out = train.select("doc_id").join(per_doc, "doc_id", "left")
     contam_frac = F.round(
         F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
     )

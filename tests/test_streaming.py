@@ -238,3 +238,60 @@ def test_streaming_chunk_text_parity(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_decontaminate_parity(spark, tmp_path):
+    """Decontamination at ingest: static eval gram set (precomputed via
+    eval_gram_set) stream-static-joined against incoming docs; the
+    per-doc overlap aggregation runs in complete mode and must equal the
+    batch decontaminate() output row-for-row."""
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators import curation as C
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for i in range(1, 25):
+        if i % 2 == 0:
+            rows.append((i, base + f" tail words {i}"))          # shares 5-grams
+        else:
+            # every word unique to doc i: no 5-gram shared with ANY doc
+            rows.append((i, " ".join(f"u{i}w{j}" for j in range(8))))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).repartition(3).write.parquet(d)
+    batch = spark.read.parquet(d)
+
+    want = (
+        C.decontaminate(batch, n=5, eval_mod=2)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    eval_grams = C.eval_gram_set(batch, n=5, eval_mod=2)
+    sdf = ST.stream_events(spark, d, batch.schema, max_files_per_trigger=1)
+    strain = sdf.filter(~C.eval_membership(F.col("doc_id"), 2))
+    ST.run_to_memory(
+        C.decontaminate(strain, n=5, eval_grams=eval_grams),
+        "decontam_stream",
+        "complete",
+    )
+    got = (
+        spark.table("decontam_stream")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # sanity: clean docs always occur (odd docs are globally unique);
+    # contaminated ones occur iff some even doc landed in the eval subset
+    import hashlib
+
+    def is_eval(i):
+        return int(hashlib.md5(f"{i}:eval".encode()).hexdigest()[:8], 16) % 2 == 0
+
+    assert (~got["is_contaminated"]).any()
+    if any(is_eval(i) for i in range(2, 25, 2)):
+        assert got["is_contaminated"].any()

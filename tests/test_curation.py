@@ -167,3 +167,67 @@ def test_token_novelty_partition_invariant(spark):
         .sort_values("doc_id")
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+# -- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def word_texts(draw):
+    words = draw(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12)
+    )
+    return " ".join(words)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(word_texts(), min_size=1, max_size=8))
+def test_repetition_invariants(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = C.repetition_stats(df, n=2).toPandas().set_index("doc_id")
+    import numpy as np
+
+    for i, t in enumerate(texts):
+        r = out.loc[i]
+        # words_of counts a whitespace-only text as one empty token
+        n_words = len(t.split()) if t.split() else 1
+        expect_total = max(0, n_words - 1)
+        assert r["n_grams_total"] == expect_total
+        assert 0 <= r["n_grams_distinct"] <= r["n_grams_total"] or (
+            r["n_grams_total"] == 0 and r["n_grams_distinct"] == 0
+        )
+        if r["n_grams_total"] > 0:
+            assert 0.0 <= r["dup_gram_frac"] <= 1.0
+            assert r["top_gram_count"] >= 1
+        else:
+            assert r["top_gram"] is None and np.isnan(r["dup_gram_frac"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_novelty_invariants(spark, token_lists):
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(token_lists)],
+        "doc_id long, tokens array<int>",
+    )
+    out = C.token_ngram_novelty(df, n=4).toPandas().set_index("doc_id")
+    assert len(out) == len(token_lists)
+    # every gram has exactly one owner, so summed novel counts equal the
+    # number of globally distinct grams
+    all_grams = set()
+    for toks in token_lists:
+        for j in range(max(0, len(toks) - 3)):
+            all_grams.add(tuple(toks[j : j + 4]))
+    assert out["n_novel"].sum() == len(all_grams)
+    assert (out["n_novel"] <= out["n_grams"]).all()

@@ -350,3 +350,83 @@ def token_ngram_novelty(tokens_df: DataFrame, n: int = 4) -> DataFrame:
         F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
         frac.alias("novelty_frac"),
     )
+
+
+# Composite quality-filter rule thresholds (C4/Gopher-flavored, tuned to
+# the synthetic corpus's word-count range). Bit set in fail_mask = rule
+# VIOLATED; kept = no rule violated. Bitmask (not array) keeps the output
+# scalar for the driver's value hash and the SQL mirror trivial.
+FILTER_MIN_WORDS = 10
+FILTER_MAX_WORDS = 1000
+FILTER_MIN_MEAN_WLEN = 2.0
+FILTER_MAX_MEAN_WLEN = 12.0
+FILTER_MIN_STOP_RATIO = 0.01
+FILTER_MAX_DUP_FRAC = 0.5
+FILTER_MAX_TOP_FRAC = 0.3
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """End-to-end corpus filter verdict combining the per-doc signal
+    families into one keep/drop decision with an auditable reason
+    bitmask:
+
+      bit 1  word count outside [FILTER_MIN_WORDS, FILTER_MAX_WORDS]
+      bit 2  mean word length outside [2, 12]
+      bit 4  stopword ratio below FILTER_MIN_STOP_RATIO (fluency proxy)
+      bit 8  duplicate-bigram fraction above FILTER_MAX_DUP_FRAC
+      bit 16 top-bigram character fraction above FILTER_MAX_TOP_FRAC
+
+    Word-stat and dup-fraction bits compare UNROUNDED doubles (identical
+    IEEE expression trees in the SQL mirror); the top-fraction bit
+    compares the 6-dp-rounded ``top_gram_char_frac`` column — rounded
+    identically on both engines, so the comparison still cannot drift.
+    Plan shape: the word-stat bits are narrow projections on the same
+    scan that feeds repetition_stats; the only shuffles are repetition's
+    doc-keyed aggregations.
+    """
+    from .text import QUALITY_STOPWORDS
+
+    rep = repetition_stats(df, text_col, n=2)
+    w = F.col("_w")
+    n_words = F.size(w)
+    mean_wlen = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double") / n_words.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n_words.cast("double")
+    )
+    stats = df.withColumn("_w", words_of(F.col(text_col))).select(
+        "doc_id",
+        n_words.alias("_nw"),
+        mean_wlen.alias("_mwl"),
+        stop_ratio.alias("_sr"),
+    )
+    j = stats.join(rep, "doc_id")
+    dup_frac = F.lit(1.0) - F.col("n_grams_distinct").cast("double") / F.col(
+        "n_grams_total"
+    ).cast("double")
+    bits = (
+        F.when(
+            (F.col("_nw") < FILTER_MIN_WORDS) | (F.col("_nw") > FILTER_MAX_WORDS),
+            1,
+        ).otherwise(0)
+        + F.when(
+            (F.col("_mwl") < FILTER_MIN_MEAN_WLEN)
+            | (F.col("_mwl") > FILTER_MAX_MEAN_WLEN),
+            2,
+        ).otherwise(0)
+        + F.when(F.col("_sr") < FILTER_MIN_STOP_RATIO, 4).otherwise(0)
+        + F.when(
+            (F.col("n_grams_total") > 0) & (dup_frac > FILTER_MAX_DUP_FRAC), 8
+        ).otherwise(0)
+        + F.when(
+            F.col("top_gram_char_frac") > FILTER_MAX_TOP_FRAC, 16
+        ).otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        bits.cast("long").alias("fail_mask"),
+        (bits == 0).alias("kept"),
+    )

@@ -1859,3 +1859,70 @@ def _token_novelty_sql() -> str:
 
 
 _register("q_token_novelty", q_token_novelty, _token_novelty_sql)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composite corpus filter verdict: word-count, mean-word-length,
+    stopword-ratio, duplicate-bigram and top-bigram rules folded into a
+    reason bitmask + keep flag per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.quality_filter(d).orderBy("doc_id")
+
+
+def _quality_filter_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in T.QUALITY_STOPWORDS)
+    return rf"""
+    WITH words AS (
+      SELECT doc_id, length(text) AS nc,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+      FROM cnt
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS tot, COUNT(*) AS dst,
+             MAX(CASE WHEN rn = 1 THEN g END) AS top_g,
+             MAX(CASE WHEN rn = 1 THEN c END) AS top_c
+      FROM ranked GROUP BY 1
+    ),
+    j AS (
+      SELECT s.doc_id, len(s.w) AS nw,
+             list_sum(list_transform(s.w, x -> length(x)))::DOUBLE
+               / len(s.w)::DOUBLE AS mwl,
+             len(list_filter(s.w, x -> list_contains([{stop_list}], x)))::DOUBLE
+               / len(s.w)::DOUBLE AS sr,
+             a.tot, a.dst,
+             ROUND((a.top_c * length(a.top_g))::DOUBLE / s.nc::DOUBLE, 6)
+               AS topfrac
+      FROM words s LEFT JOIN agg a ON a.doc_id = s.doc_id
+    ),
+    mask AS (
+      SELECT doc_id,
+             (CASE WHEN nw < {CU.FILTER_MIN_WORDS}
+                     OR nw > {CU.FILTER_MAX_WORDS} THEN 1 ELSE 0 END)
+           + (CASE WHEN mwl < {CU.FILTER_MIN_MEAN_WLEN!r}
+                     OR mwl > {CU.FILTER_MAX_MEAN_WLEN!r} THEN 2 ELSE 0 END)
+           + (CASE WHEN sr < {CU.FILTER_MIN_STOP_RATIO!r} THEN 4 ELSE 0 END)
+           + (CASE WHEN COALESCE(tot, 0) > 0
+                     AND (1.0 - dst::DOUBLE / tot::DOUBLE)
+                         > {CU.FILTER_MAX_DUP_FRAC!r} THEN 8 ELSE 0 END)
+           + (CASE WHEN topfrac > {CU.FILTER_MAX_TOP_FRAC!r}
+                   THEN 16 ELSE 0 END) AS fail_mask
+      FROM j
+    )
+    SELECT doc_id, fail_mask::BIGINT AS fail_mask,
+           (fail_mask = 0) AS kept
+    FROM mask ORDER BY doc_id
+    """
+
+
+_register("q_quality_filter", q_quality_filter, _quality_filter_sql)

@@ -231,3 +231,33 @@ def test_token_novelty_invariants(spark, token_lists):
             all_grams.add(tuple(toks[j : j + 4]))
     assert out["n_novel"].sum() == len(all_grams)
     assert (out["n_novel"] <= out["n_grams"]).all()
+
+
+# -- quality_filter ----------------------------------------------------------
+
+def test_quality_filter_bits(spark):
+    rows = [
+        # 0: passes everything: >=10 words, normal lengths, has stopwords,
+        #    no repetition
+        (0, "the quick brown fox jumps over a lazy dog while it rains"),
+        # 1: too short (bit 1), no stopwords (bit 4), and its single top
+        #    bigram "alpha beta" covers 10/16 chars > 0.3 (bit 16)
+        (1, "alpha beta gamma"),
+        # 2: heavy repetition: dup fraction 10/11 > 0.5 (bit 8) and top
+        #    bigram covers most chars (bit 16); words repeat so stopword
+        #    bit also fires (bit 4), length ok
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        # 3: mean word length too long (bit 2), no stopwords (bit 4),
+        #    enough words
+        (3, " ".join(["superlongwordhere"] * 12)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.quality_filter(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "fail_mask"] == 0 and bool(out.loc[0, "kept"])
+    assert out.loc[1, "fail_mask"] == 1 + 4 + 16 and not bool(out.loc[1, "kept"])
+    m2 = out.loc[2, "fail_mask"]
+    assert m2 & 8 and m2 & 16 and m2 & 4 and not (m2 & 1) and not (m2 & 2)
+    m3 = out.loc[3, "fail_mask"]
+    assert m3 & 2 and m3 & 4 and not (m3 & 1)
+    # doc 3 repeats one word -> repetition bits fire too; kept must be False
+    assert not bool(out.loc[3, "kept"])

@@ -430,3 +430,32 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         bits.cast("long").alias("fail_mask"),
         (bits == 0).alias("kept"),
     )
+
+
+def corpus_mix_report(docs: DataFrame) -> DataFrame:
+    """The training-mix manifest: per (split, source), total docs, docs
+    surviving BOTH temperature sampling and the quality filter, and the
+    character mass of the survivors — the table a corpus mixer hands to
+    the tokenizer run.
+
+    Composes hash_split x source_temperature_sample x quality_filter on
+    doc_id. Plan shape: three derivations of the same scan joined on
+    doc_id, then one small (|splits| x |sources|) aggregation; at scale
+    the split/sample columns are pure projections a production run would
+    fuse into the quality pass — the composition is kept explicit here
+    so each decision stays independently testable/oracle-checked.
+    """
+    hs = hash_split(docs).select("doc_id", "source", "split", "n_chars")
+    ts = source_temperature_sample(docs).select(
+        "doc_id", F.col("kept").alias("_ts_kept")
+    )
+    qf = quality_filter(docs).select("doc_id", F.col("kept").alias("_qf_kept"))
+    j = hs.join(ts, "doc_id").join(qf, "doc_id")
+    kept = F.col("_ts_kept") & F.col("_qf_kept")
+    return j.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -1869,10 +1869,12 @@ def q_quality_filter(spark, sf_dir):
     return CU.quality_filter(d).orderBy("doc_id")
 
 
-def _quality_filter_sql() -> str:
+def _quality_mask_ctes() -> str:
+    """Shared CTE body computing the per-doc fail_mask — used by the
+    quality-filter oracle and composed into the corpus-mix oracle so the
+    two cannot drift."""
     stop_list = ", ".join(f"'{s}'" for s in T.QUALITY_STOPWORDS)
-    return rf"""
-    WITH words AS (
+    return rf"""words AS (
       SELECT doc_id, length(text) AS nc,
              regexp_split_to_array(trim(text), '\s+') AS w
       FROM documents
@@ -1918,7 +1920,12 @@ def _quality_filter_sql() -> str:
            + (CASE WHEN topfrac > {CU.FILTER_MAX_TOP_FRAC!r}
                    THEN 16 ELSE 0 END) AS fail_mask
       FROM j
-    )
+    )"""
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+    WITH {_quality_mask_ctes()}
     SELECT doc_id, fail_mask::BIGINT AS fail_mask,
            (fail_mask = 0) AS kept
     FROM mask ORDER BY doc_id
@@ -1926,3 +1933,50 @@ def _quality_filter_sql() -> str:
 
 
 _register("q_quality_filter", q_quality_filter, _quality_filter_sql)
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Corpus-mix manifest: per (split, source) doc counts, survivors of
+    temperature sampling + quality filtering, and surviving char mass."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.corpus_mix_report(d).orderBy("split", "source")
+
+
+def _corpus_mix_sql() -> str:
+    return f"""
+    WITH {_quality_mask_ctes()},
+    hs AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source, n_chars,
+               {MD5L.format(x="doc_id || ':split'")} % {CU.HASH_SPLIT_BUCKETS} AS b
+        FROM documents
+      )
+    ),
+    c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+    mn AS (SELECT MIN(c) AS cmin FROM c),
+    wts AS (SELECT source, sqrt(cmin::DOUBLE / c::DOUBLE) AS kp FROM c, mn),
+    ts AS (
+      SELECT d.doc_id,
+             (({MD5L.format(x="d.doc_id || ':tsample'")} % 1000000)::DOUBLE
+               / 1000000.0) < kp AS ts_kept
+      FROM documents d JOIN wts USING (source)
+    )
+    SELECT hs.split, hs.source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN ts_kept AND fail_mask = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           SUM(CASE WHEN ts_kept AND fail_mask = 0 THEN hs.n_chars
+                    ELSE 0 END)::BIGINT AS kept_chars
+    FROM hs
+    JOIN ts ON ts.doc_id = hs.doc_id
+    JOIN mask ON mask.doc_id = hs.doc_id
+    GROUP BY hs.split, hs.source
+    ORDER BY hs.split, hs.source
+    """
+
+
+_register("q_corpus_mix", q_corpus_mix, _corpus_mix_sql)

@@ -261,3 +261,24 @@ def test_quality_filter_bits(spark):
     assert m3 & 2 and m3 & 4 and not (m3 & 1)
     # doc 3 repeats one word -> repetition bits fire too; kept must be False
     assert not bool(out.loc[3, "kept"])
+
+
+# -- corpus_mix_report -------------------------------------------------------
+
+def test_corpus_mix_consistency(spark):
+    rows = [
+        (i, "the quick brown fox jumps over a lazy dog near the river bank "
+            f"unique{i} tail", "s_big" if i % 4 else "s_small")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    mix = C.corpus_mix_report(df).toPandas()
+    assert mix["n_docs"].sum() == 40
+    assert (mix["n_kept"] <= mix["n_docs"]).all()
+    assert (mix["kept_chars"] >= 0).all()
+    # kept char mass never exceeds the group's total char mass
+    assert mix["kept_chars"].sum() <= sum(len(r[1]) for r in rows)
+    # grouping keys are the full split x source cross-section present
+    assert set(mix["source"]) == {"s_big", "s_small"}

@@ -459,3 +459,48 @@ def corpus_mix_report(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+def token_vocab_stats(tokens_df: DataFrame, vocab_size: int) -> DataFrame:
+    """Per-source token-distribution report over the pre-tokenized table:
+    doc count, token mass, distinct token ids, vocabulary coverage, and
+    the most frequent token id (ties -> smallest id) with its count.
+    The standard sanity table before a tokenizer/corpus change ships —
+    a source whose coverage collapses or whose top token dominates is
+    mis-extracted or mis-encoded.
+
+    Plan shape: posexplode-free — per-doc distinct/top aggregation would
+    still need the global merge, so tokens explode once and aggregate on
+    (source, token): partial map-side combine collapses each partition's
+    occurrences, reducers see at most |sources| x |vocab| rows
+    (bounded by construction, NOT by corpus size), and the final
+    per-source rollup is |vocab|-row work per source.
+    """
+    toks = tokens_df.select(
+        "source", F.explode("tokens").alias("tok")
+    )
+    per_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    )
+    per_src = (
+        per_tok.withColumn("_rn", rn)
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max(F.when(F.col("_rn") == 1, F.col("tok"))).alias("top_token"),
+            F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("top_token_count"),
+        )
+    )
+    docs = tokens_df.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    cov = F.col("n_distinct_tokens").cast("double") / F.lit(float(vocab_size))
+    return docs.join(per_src, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.round(cov, 6).alias("vocab_coverage"),
+        F.col("top_token").cast("long").alias("top_token"),
+        F.col("top_token_count").cast("long").alias("top_token_count"),
+    )

@@ -1980,3 +1980,57 @@ def _corpus_mix_sql() -> str:
 
 
 _register("q_corpus_mix", q_corpus_mix, _corpus_mix_sql)
+
+
+VOCAB_STATS_DOCS = 128
+
+
+def q_token_vocab_stats(spark, sf_dir):
+    """Per-source token-distribution report (vocab coverage, top token)
+    over the deterministic pre-tokenized sequence table. Oracle = VALUES
+    literal from an independent pure-Python replay (q_checkpoint_ledger
+    pattern)."""
+    from .. import synth
+
+    df = synth.token_table(spark, VOCAB_STATS_DOCS)
+    return CU.token_vocab_stats(df, vocab_size=synth.VOCAB).orderBy("source")
+
+
+def _token_vocab_stats_sql() -> str:
+    from collections import Counter, defaultdict
+
+    from .. import synth
+
+    counts: dict = defaultdict(Counter)
+    docs: dict = Counter()
+    for i in range(VOCAB_STATS_DOCS):
+        r = synth.doc_row(i)
+        src = r["source"]
+        docs[src] += 1
+        counts[src].update(int(t) for t in r["tokens"])
+    vals = []
+    for src in sorted(docs):
+        c = counts[src]
+        n_tokens = sum(c.values())
+        n_distinct = len(c)
+        top_tok, top_c = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        cov = _round_half_up6(n_distinct / float(synth.VOCAB))
+        vals.append(
+            f"('{src}', {docs[src]}, {n_tokens}, {n_distinct}, "
+            f"CAST({cov!r} AS DOUBLE), {top_tok}, {top_c})"
+        )
+    return f"""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           vocab_coverage,
+           CAST(top_token AS BIGINT) AS top_token,
+           CAST(top_token_count AS BIGINT) AS top_token_count
+    FROM (VALUES {", ".join(vals)})
+         AS t(source, n_docs, n_tokens, n_distinct_tokens,
+              vocab_coverage, top_token, top_token_count)
+    ORDER BY source
+    """
+
+
+_register("q_token_vocab_stats", q_token_vocab_stats, _token_vocab_stats_sql)

@@ -282,3 +282,23 @@ def test_corpus_mix_consistency(spark):
     assert mix["kept_chars"].sum() <= sum(len(r[1]) for r in rows)
     # grouping keys are the full split x source cross-section present
     assert set(mix["source"]) == {"s_big", "s_small"}
+
+
+# -- token_vocab_stats -------------------------------------------------------
+
+def test_token_vocab_stats_hand_values(spark):
+    rows = [
+        (1, [5, 5, 7], "a"),
+        (2, [5, 9], "a"),
+        (3, [1, 1, 2, 2], "b"),   # tie on count: top token = smallest id
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string"
+    )
+    out = C.token_vocab_stats(df, vocab_size=10).toPandas().set_index("source")
+    a = out.loc["a"]
+    assert a["n_docs"] == 2 and a["n_tokens"] == 5 and a["n_distinct_tokens"] == 3
+    assert a["top_token"] == 5 and a["top_token_count"] == 3
+    assert a["vocab_coverage"] == pytest.approx(0.3)
+    b = out.loc["b"]
+    assert b["top_token"] == 1 and b["top_token_count"] == 2

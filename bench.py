@@ -208,18 +208,25 @@ def main() -> None:
     # Best-of-2 per query: the first run pays one-time plan/codegen/worker
     # costs and the host VM has minutes-scale throughput drift (documented
     # in BENCH/BASELINE.md) — a single cold shot misattributes both to the
-    # query. The recorded number is steady-state.
+    # query. When the two reps disagree by >2.5x the query is still inside
+    # a one-time cost window (observed: C2 JIT of large generated
+    # aggregates holds the md5-chain queries ~8x slow for the first ~20 s,
+    # then releases) — one extra rep resolves steady state without
+    # doubling the suite for the stable majority.
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
         try:
-            best = None
+            reps = []
             for _ in range(2):
                 t0 = time.time()
                 _materialize(fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                reps.append(time.time() - t0)
+            if max(reps) / max(min(reps), 1e-9) > 2.5:
+                t0 = time.time()
+                _materialize(fn(spark, sf_dir))
+                reps.append(time.time() - t0)
+            timings[name] = round(min(reps), 3)
         except Exception as e:  # a failing query must not kill the bench
             timings[name] = -1.0
             extras[f"error_{name}"] = f"{type(e).__name__}: {e}"[:200]

@@ -494,13 +494,21 @@ def token_vocab_stats(tokens_df: DataFrame, vocab_size: int) -> DataFrame:
         )
     )
     docs = tokens_df.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    cov = F.col("n_distinct_tokens").cast("double") / F.lit(float(vocab_size))
-    return docs.join(per_src, "source").select(
+    cov = F.coalesce(F.col("n_distinct_tokens"), F.lit(0)).cast("double") / F.lit(
+        float(vocab_size)
+    )
+    # left join: a source whose docs are all empty token arrays still
+    # reports (n_tokens=0, top_token NULL) instead of vanishing
+    return docs.join(per_src, "source", "left").select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_distinct_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_tokens"),
         F.round(cov, 6).alias("vocab_coverage"),
         F.col("top_token").cast("long").alias("top_token"),
-        F.col("top_token_count").cast("long").alias("top_token_count"),
+        F.coalesce(F.col("top_token_count"), F.lit(0))
+        .cast("long")
+        .alias("top_token_count"),
     )

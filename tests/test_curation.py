@@ -302,3 +302,20 @@ def test_token_vocab_stats_hand_values(spark):
     assert a["vocab_coverage"] == pytest.approx(0.3)
     b = out.loc["b"]
     assert b["top_token"] == 1 and b["top_token_count"] == 2
+
+
+def test_token_vocab_stats_empty_source(spark):
+    rows = [
+        (1, [3, 3], "a"),
+        (2, [], "empty"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<int>, source string"
+    )
+    out = C.token_vocab_stats(df, vocab_size=10).toPandas().set_index("source")
+    e = out.loc["empty"]
+    assert e["n_docs"] == 1 and e["n_tokens"] == 0
+    assert e["n_distinct_tokens"] == 0 and e["vocab_coverage"] == 0.0
+    import pandas as pd
+
+    assert pd.isna(e["top_token"]) and e["top_token_count"] == 0

@@ -36,20 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import md5_long, shingles, words_of
-
-
-def _grams_expr(w, n: int):
-    """Overlapping word n-grams of an already-split words column, WITHOUT
-    de-duplication (repetition analysis needs multiplicities; contrast
-    dedup.shingles which is distinct-by-construction)."""
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+from .dedup import grams_expr, md5_long, shingles, words_of
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
@@ -76,7 +63,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
         "doc_id", F.length(F.col(text_col)).alias("_nc"), words_of(F.col(text_col)).alias("_w")
     )
     grams = base.select(
-        "doc_id", "_nc", F.explode(_grams_expr(F.col("_w"), n)).alias("g")
+        "doc_id", "_nc", F.explode(grams_expr(F.col("_w"), n)).alias("g")
     )
     cnt = grams.groupBy("doc_id", "_nc", "g").agg(F.count(F.lit(1)).alias("c"))
     rn = F.row_number().over(
@@ -92,8 +79,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 2) -> DataF
             F.max(F.when(F.col("_rn") == 1, F.col("c"))).alias("top_gram_count"),
         )
     )
-    keys = df.select("doc_id", F.length(F.col(text_col)).alias("_nc"))
-    out = keys.join(agg, ["doc_id", "_nc"], "left")
+    # join on doc_id alone (unique) and take _nc from the agg side —
+    # the keys branch then prunes to the doc_id column only
+    keys = df.select("doc_id")
+    out = keys.join(agg, "doc_id", "left")
     dup_frac = F.round(
         F.lit(1.0)
         - F.col("n_grams_distinct").cast("double")
@@ -218,6 +207,14 @@ def hash_split(
     exceeds the bucket. Pure projection — reproducible across runs,
     partitionings, and engines; docs never migrate between splits when
     the corpus grows (the property random sampling lacks)."""
+    if not splits:
+        raise ValueError("hash_split: splits must be non-empty")
+    cums = [cum for _, cum in splits]
+    if cums != sorted(cums) or cums[-1] != HASH_SPLIT_BUCKETS:
+        raise ValueError(
+            "hash_split: cumulative thresholds must ascend and end at "
+            f"HASH_SPLIT_BUCKETS={HASH_SPLIT_BUCKETS}, got {cums}"
+        )
     b = md5_long(F.concat(F.col(key_col), F.lit(salt))) % HASH_SPLIT_BUCKETS
     expr = None
     for label, cum in splits:
@@ -311,27 +308,23 @@ def token_ngram_novelty(tokens_df: DataFrame, n: int = 4) -> DataFrame:
     near-dup / boilerplate candidate; novel content scores near 1.
 
     Input: the pre-tokenized sequence table (doc_id, tokens array<int>).
-    Grams are keyed by the md5 hash of the comma-joined token ids — the
-    gram table shuffles on that hash (uniform by construction), with
-    map-side partial aggregation for both the per-gram min-owner and the
-    per-doc counts. No all-pairs stage at any scale.
+    Grams shuffle keyed on the comma-joined token-id STRING itself (for
+    4 x 5-digit ids that is ~23 bytes — no wider than a hex hash, and
+    collision-free where a 32-bit hash key would miscount ~0.8% of 8k-gram
+    docs), with map-side partial aggregation for both the per-gram
+    min-owner and the per-doc counts. No all-pairs stage at any scale.
     """
-    w = F.col("tokens")
-    gram_strs = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                ",", *[F.element_at(w, i + j).cast("string") for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = tokens_df.select(
-        "doc_id", F.explode(F.array_distinct(gram_strs)).alias("g")
-    ).select("doc_id", md5_long(F.col("g")).alias("gh"))
-    owner = grams.groupBy("gh").agg(F.min("doc_id").alias("owner"))
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                grams_expr(F.col("tokens"), n, sep=",", cast_elements=True)
+            )
+        ).alias("g"),
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
     per_doc = (
-        grams.join(owner, "gh")
+        grams.join(owner, "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -384,8 +377,10 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     scan that feeds repetition_stats; the only shuffles are repetition's
     doc-keyed aggregations.
     """
+    from ..session import widen_small_scan
     from .text import QUALITY_STOPWORDS
 
+    df = widen_small_scan(df)
     rep = repetition_stats(df, text_col, n=2)
     w = F.col("_w")
     n_words = F.size(w)

@@ -82,6 +82,25 @@ def words_of(text_col):
     return F.split(F.trim(text_col), r"\s+")
 
 
+def grams_expr(w, n: int, sep: str = " ", cast_elements: bool = False):
+    """Array of overlapping n-grams of an already-split array column
+    (multiplicities preserved; wrap in array_distinct for shingle
+    semantics). The SINGLE gram construction shared by shingles, the
+    repetition operators, and token n-gram novelty — the size guard and
+    empty-array fallback live only here. cast_elements stringifies
+    non-string elements (token ids) for concat_ws."""
+    elem = (lambda c: c.cast("string")) if cast_elements else (lambda c: c)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                sep, *[elem(F.element_at(w, i + j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
              out_col: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc: one output row per
@@ -89,16 +108,7 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     from ..session import widen_small_scan
 
     df = widen_small_scan(df)
-    w = words_of(F.col(text_col))
-    gram = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram = grams_expr(words_of(F.col(text_col)), n)
     # array_distinct already dedups within the doc, so exploding it gives
     # per-(doc_id, shingle) uniqueness for free — a trailing .distinct()
     # here would cost a full extra shuffle in every consumer for nothing.

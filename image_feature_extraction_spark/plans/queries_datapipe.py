@@ -1702,6 +1702,17 @@ _register(
 )
 
 
+def _split_case_sql(bucket_col: str = "b") -> str:
+    """CASE expression mirroring curation.DEFAULT_SPLITS — generated from
+    the same constant the operator uses, so oracle and operator cannot
+    drift on the thresholds."""
+    clauses = " ".join(
+        f"WHEN {bucket_col} < {cum} THEN '{label}'"
+        for label, cum in CU.DEFAULT_SPLITS[:-1]
+    )
+    return f"CASE {clauses} ELSE '{CU.DEFAULT_SPLITS[-1][0]}' END"
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-bucket train/val/test split (90/5/5): stable
     under corpus growth, reproducible across engines."""
@@ -1715,9 +1726,7 @@ _register(
     q_hash_split,
     f"""
     SELECT doc_id, source, b::BIGINT AS split_bucket,
-           CASE WHEN b < 9000 THEN 'train'
-                WHEN b < 9500 THEN 'val'
-                ELSE 'test' END AS split
+           {_split_case_sql()} AS split
     FROM (
       SELECT doc_id, source,
              {MD5L.format(x="doc_id || ':split'")} % {CU.HASH_SPLIT_BUCKETS} AS b
@@ -1824,10 +1833,10 @@ def q_token_novelty(spark, sf_dir):
 
 
 def _token_novelty_sql() -> str:
-    import hashlib
-
     from .. import synth
 
+    # dedup and ownership by the gram STRING itself, exactly like the
+    # operator — a hash-keyed replay would miscount on hash collisions
     per_doc = []
     owner: dict = {}
     for i in range(NOVELTY_DOCS):
@@ -1835,8 +1844,7 @@ def _token_novelty_sql() -> str:
         toks = [int(t) for t in r["tokens"]]
         gs = set()
         for j in range(len(toks) - (NOVELTY_N - 1)):
-            g = ",".join(str(t) for t in toks[j : j + NOVELTY_N])
-            gs.add(int(hashlib.md5(g.encode()).hexdigest()[:8], 16))
+            gs.add(",".join(str(t) for t in toks[j : j + NOVELTY_N]))
         per_doc.append((r["doc_id"], gs))
         for gh in gs:
             if gh not in owner or r["doc_id"] < owner[gh]:
@@ -1947,9 +1955,7 @@ def _corpus_mix_sql() -> str:
     WITH {_quality_mask_ctes()},
     hs AS (
       SELECT doc_id, source, n_chars,
-             CASE WHEN b < 9000 THEN 'train'
-                  WHEN b < 9500 THEN 'val'
-                  ELSE 'test' END AS split
+             {_split_case_sql()} AS split
       FROM (
         SELECT doc_id, source, n_chars,
                {MD5L.format(x="doc_id || ':split'")} % {CU.HASH_SPLIT_BUCKETS} AS b

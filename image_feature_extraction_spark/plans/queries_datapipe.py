@@ -2040,3 +2040,97 @@ def _token_vocab_stats_sql() -> str:
 
 
 _register("q_token_vocab_stats", q_token_vocab_stats, _token_vocab_stats_sql)
+
+# ---------------------------------------------------------------------------
+# Leakage-free feature encoders (operators/encode.py): expanding z-score
+# and time-aware target encoding
+# ---------------------------------------------------------------------------
+
+from ..operators import encode as EN  # noqa: E402
+
+
+def q_expanding_zscore(spark, sf_dir):
+    """Per-entity expanding z-score of `value` against strictly-preceding
+    history (same-timestamp peers excluded; MakeBag.cxx:429-447 normalizes
+    frequencies by a total — here the total is the entity's OWN PAST so
+    the feature is leakage-free). Single window exchange."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = EN.expanding_zscore(ev, by="user_id", ts="ts", value="value")
+    return out.select(
+        "event_id", "user_id", "z_n_prev", "z_mean_prev", "z_var_prev", "z_score"
+    ).orderBy("event_id")
+
+
+_ZS_DEC = "CAST(value AS DECIMAL(18,2))"
+_ZS_SQ = f"CAST({_ZS_DEC} * {_ZS_DEC} AS DECIMAL(38,4))"
+_ZS_MEAN = "CAST(sum_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)"
+
+_register(
+    "q_expanding_zscore",
+    q_expanding_zscore,
+    f"""
+    WITH d AS (
+      SELECT event_id, user_id, value, epoch(ts) AS e FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, value,
+             COUNT(value) OVER incl - COUNT(value) OVER peer AS z_n_prev,
+             CAST(COALESCE(SUM({_ZS_DEC}) OVER incl, 0) AS DECIMAL(38,2))
+               - CAST(COALESCE(SUM({_ZS_DEC}) OVER peer, 0) AS DECIMAL(38,2)) AS sum_prev,
+             CAST(COALESCE(SUM({_ZS_SQ}) OVER incl, 0) AS DECIMAL(38,4))
+               - CAST(COALESCE(SUM({_ZS_SQ}) OVER peer, 0) AS DECIMAL(38,4)) AS sumsq_prev
+      FROM d
+      WINDOW incl AS (PARTITION BY user_id ORDER BY e
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             peer AS (PARTITION BY user_id ORDER BY e
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, z_n_prev,
+           CASE WHEN z_n_prev >= 1 THEN {_ZS_MEAN} END AS z_mean_prev,
+           CASE WHEN z_n_prev >= 2
+                THEN CAST(sumsq_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)
+                     - ({_ZS_MEAN}) * ({_ZS_MEAN})
+           END AS z_var_prev,
+           CASE WHEN (CASE WHEN z_n_prev >= 2
+                           THEN CAST(sumsq_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)
+                                - ({_ZS_MEAN}) * ({_ZS_MEAN}) END) > 0
+                THEN (CAST(value AS DOUBLE) - {_ZS_MEAN})
+                     / sqrt(CAST(sumsq_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)
+                            - ({_ZS_MEAN}) * ({_ZS_MEAN}))
+           END AS z_score
+    FROM w ORDER BY event_id
+    """,
+)
+
+
+TE_BUCKET_SEC = 3600.0
+
+
+def q_target_encode(spark, sf_dir):
+    """Time-aware target encoding of event_type by `value` over
+    strictly-previous hourly buckets (within-bucket leakage excluded;
+    Bayesian-smoothed toward the shared prior). The corpus never
+    shuffles on the 4-value category key: decimal partials per
+    (category, bucket) -> tiny cumulative window -> equi-join back."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = EN.target_encode(
+        ev, by="event_type", ts="ts", label="value", time_bucket=TE_BUCKET_SEC
+    )
+    return out.select(
+        "event_id", "event_type", "te_bucket", "te_n_prev", "te_mean_prev", "te_enc"
+    ).orderBy("event_id")
+
+
+_register(
+    "q_target_encode",
+    q_target_encode,
+    EN.target_encode_oracle_sql(
+        table="events",
+        by="event_type",
+        ts="ts",
+        label="value",
+        time_bucket=TE_BUCKET_SEC,
+        select_cols="d.event_id, d.event_type, d.te_bucket",
+    )
+    + " ORDER BY event_id",
+)

@@ -1,0 +1,172 @@
+"""Leakage-freedom and replay tests for operators/encode.py.
+
+The invariants under test:
+
+1. A row's features depend ONLY on strictly-earlier history — perturbing
+   any value at time >= t (including same-timestamp peers / same-bucket
+   rows) must not change the features of rows at time t.
+2. The Spark output matches an independent pure-pandas replay of the
+   definition (allclose; exactness vs DuckDB is the driver gate).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from image_feature_extraction_spark.operators import encode as EN
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _frame(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=float(sec))
+
+
+@pytest.fixture(scope="module")
+def zs_rows():
+    # entity a: distinct ts; entity b: duplicate timestamps at t=20
+    return [
+        (0, "a", _ts(0), 10.0),
+        (1, "a", _ts(10), 20.0),
+        (2, "a", _ts(20), 40.0),
+        (3, "b", _ts(0), 5.0),
+        (4, "b", _ts(10), 7.0),
+        (5, "b", _ts(20), 100.0),
+        (6, "b", _ts(20), -100.0),
+        (7, "b", _ts(30), 9.0),
+    ]
+
+
+def test_expanding_zscore_replay_and_peers(spark, zs_rows):
+    out = (
+        EN.expanding_zscore(_frame(spark, zs_rows), by="ent", ts="ts", value="value")
+        .orderBy("id")
+        .toPandas()
+    )
+    # Independent replay: strictly-earlier-ts population stats.
+    rows = pd.DataFrame(zs_rows, columns=["id", "ent", "ts", "value"])
+    for _, r in rows.iterrows():
+        past = rows[(rows.ent == r.ent) & (rows.ts < r.ts)].value.to_numpy()
+        got = out[out.id == r.id].iloc[0]
+        assert got.z_n_prev == len(past)
+        if len(past) >= 1:
+            assert np.isclose(got.z_mean_prev, past.mean())
+        else:
+            assert pd.isna(got.z_mean_prev)
+        if len(past) >= 2 and past.var() > 0:
+            assert np.isclose(got.z_var_prev, past.var())
+            assert np.isclose(
+                got.z_score, (r.value - past.mean()) / np.sqrt(past.var())
+            )
+        else:
+            assert pd.isna(got.z_score)
+    # Duplicate-ts peers share history and never see each other.
+    p5 = out[out.id == 5].iloc[0]
+    p6 = out[out.id == 6].iloc[0]
+    assert p5.z_n_prev == p6.z_n_prev == 2
+    assert p5.z_mean_prev == p6.z_mean_prev == 6.0
+
+
+def test_expanding_zscore_no_future_leakage(spark, zs_rows):
+    base = (
+        EN.expanding_zscore(_frame(spark, zs_rows), by="ent", ts="ts", value="value")
+        .orderBy("id")
+        .toPandas()
+    )
+    # Perturb every value at t >= 20 (incl. both same-ts peers of entity b).
+    mutated = [
+        (i, e, t, v + 1000.0 if t >= _ts(20) else v) for i, e, t, v in zs_rows
+    ]
+    out = (
+        EN.expanding_zscore(_frame(spark, mutated), by="ent", ts="ts", value="value")
+        .orderBy("id")
+        .toPandas()
+    )
+    early = base.id[[t < _ts(20) for _, _, t, _ in zs_rows]].tolist()
+    cols = ["z_n_prev", "z_mean_prev", "z_var_prev", "z_score"]
+    pd.testing.assert_frame_equal(
+        base[base.id.isin(early)][cols].reset_index(drop=True),
+        out[out.id.isin(early)][cols].reset_index(drop=True),
+    )
+    # Rows AT t=20 keep their features too (peers excluded; only the
+    # score shifts through the row's own perturbed value).
+    for rid in (2, 5, 6):
+        b, o = base[base.id == rid].iloc[0], out[out.id == rid].iloc[0]
+        assert b.z_n_prev == o.z_n_prev
+        assert (pd.isna(b.z_mean_prev) and pd.isna(o.z_mean_prev)) or (
+            b.z_mean_prev == o.z_mean_prev
+        )
+
+
+def test_target_encode_replay_and_bucket_exclusion(spark):
+    rows = [
+        (0, "x", _ts(0), 10.0),
+        (1, "x", _ts(100), 30.0),      # same bucket as id 0
+        (2, "x", _ts(3700), 50.0),     # bucket 1
+        (3, "x", _ts(7300), 70.0),     # bucket 2
+        (4, "y", _ts(3650), 8.0),      # y's first bucket
+        (5, "y", _ts(7250), 12.0),
+    ]
+    out = (
+        EN.target_encode(
+            _frame(spark, rows), by="ent", ts="ts", label="value", time_bucket=3600.0
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    m, prior = EN.TE_SMOOTHING_M, EN.TE_PRIOR
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    rdf["bucket"] = (rdf.ts - T0).dt.total_seconds() // 3600
+    for _, r in rdf.iterrows():
+        past = rdf[(rdf.ent == r.ent) & (rdf.bucket < r.bucket)].value.to_numpy()
+        got = out[out.id == r.id].iloc[0]
+        assert got.te_n_prev == len(past)
+        assert np.isclose(
+            got.te_enc, (past.sum() + m * prior) / (len(past) + m)
+        )
+        if len(past) == 0:
+            assert pd.isna(got.te_mean_prev)
+            assert np.isclose(got.te_enc, prior)  # degrades to the prior
+        else:
+            assert np.isclose(got.te_mean_prev, past.mean())
+    # Same-bucket exclusion: ids 0 and 1 share bucket 0 -> both unseen.
+    assert out[out.id == 0].iloc[0].te_n_prev == 0
+    assert out[out.id == 1].iloc[0].te_n_prev == 0
+
+
+def test_target_encode_no_future_leakage(spark):
+    rows = [
+        (0, "x", _ts(0), 10.0),
+        (1, "x", _ts(3700), 50.0),
+        (2, "x", _ts(7300), 70.0),
+    ]
+    base = (
+        EN.target_encode(
+            _frame(spark, rows), by="ent", ts="ts", label="value", time_bucket=3600.0
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    mutated = [(i, e, t, v + 500.0 if i == 2 else v) for i, e, t, v in rows]
+    out = (
+        EN.target_encode(
+            _frame(spark, mutated), by="ent", ts="ts", label="value", time_bucket=3600.0
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    cols = ["te_n_prev", "te_mean_prev", "te_enc"]
+    pd.testing.assert_frame_equal(
+        base[base.id < 2][cols].reset_index(drop=True),
+        out[out.id < 2][cols].reset_index(drop=True),
+    )

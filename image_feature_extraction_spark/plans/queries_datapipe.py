@@ -2134,3 +2134,93 @@ _register(
     )
     + " ORDER BY event_id",
 )
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import bpe as BP  # noqa: E402
+
+BPE_DOCS = 192
+BPE_ALPHABET = 64  # project tokens to a byte-ish alphabet so merge
+                   # statistics are non-trivial at test scale
+BPE_MERGES = 4
+
+
+def q_bpe_train(spark, sf_dir):
+    """Learn 4 BPE merges over the deterministic token table projected to
+    a 64-symbol alphabet; the row set is the merge table plus the corpus
+    token total after each merge (so the greedy rewrite kernel is
+    checked, not just the pair counts). Oracle = VALUES literal from an
+    independent pure-Python replay (q_checkpoint_ledger pattern)."""
+    from .. import synth
+
+    # 8 partitions: 192 docs over 32 would leave ~6 docs/task, and the
+    # 9 tiny Python stages (4x count + 4x size + rewrites) would be pure
+    # per-task setup; production corpora keep their native partitioning.
+    corpus = synth.token_table(spark, BPE_DOCS, partitions=8).select(
+        "doc_id",
+        F.transform("tokens", lambda x: x % BPE_ALPHABET).alias("tokens"),
+    )
+    rows, _ = BP.bpe_train(
+        corpus, num_merges=BPE_MERGES, vocab_size=BPE_ALPHABET, track_sizes=True
+    )
+    return spark.createDataFrame(
+        rows,
+        schema="iteration int, t1 int, t2 int, new_token int, "
+        "pair_count long, tokens_after long",
+    ).orderBy("iteration")
+
+
+def _bpe_train_sql() -> str:
+    """Independent greedy-BPE replay over the same synthesized docs; the
+    merge-application walk below is a separate implementation of the
+    left-to-right non-overlapping rule (sequential scan, not the match-
+    index filter the operator kernel uses)."""
+    from collections import Counter
+
+    from .. import synth
+
+    docs = [
+        [int(t) % BPE_ALPHABET for t in synth.doc_row(i)["tokens"]]
+        for i in range(BPE_DOCS)
+    ]
+    vals = []
+    for it in range(BPE_MERGES):
+        c: Counter = Counter()
+        for a in docs:
+            c.update(zip(a, a[1:]))
+        if not c:
+            break
+        (t1, t2), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        new = BPE_ALPHABET + it
+        nxt = []
+        for a in docs:
+            out = []
+            i = 0
+            while i < len(a):
+                if i + 1 < len(a) and a[i] == t1 and a[i + 1] == t2:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(a[i])
+                    i += 1
+            nxt.append(out)
+        docs = nxt
+        vals.append(
+            f"({it}, {t1}, {t2}, {new}, {cnt}, {sum(len(a) for a in docs)})"
+        )
+    return f"""
+    SELECT CAST(iteration AS INTEGER) AS iteration, CAST(t1 AS INTEGER) AS t1,
+           CAST(t2 AS INTEGER) AS t2, CAST(new_token AS INTEGER) AS new_token,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(tokens_after AS BIGINT) AS tokens_after
+    FROM (VALUES {", ".join(vals)})
+         AS t(iteration, t1, t2, new_token, pair_count, tokens_after)
+    ORDER BY iteration
+    """
+
+
+_register("q_bpe_train", q_bpe_train, _bpe_train_sql)

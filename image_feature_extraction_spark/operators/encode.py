@@ -139,6 +139,61 @@ def expanding_zscore(
     return d.drop("_epoch", "_sum_prev", "_sumsq_prev")
 
 
+def expanding_robust_stats(
+    df: DataFrame,
+    by,
+    ts: str,
+    value: str,
+    id_col: str,
+    k: float = 1.5,
+    min_history: int = 4,
+    out_prefix: str = "rb",
+) -> DataFrame:
+    """Expanding median/IQR of the entity's history + Tukey-fence outlier
+    flag: outlier iff value < Q1 - k*IQR or value > Q3 + k*IQR, with the
+    quartiles computed over PRIOR rows only (NULL until `min_history`).
+
+    History frame: ROWS UNBOUNDED PRECEDING..1 PRECEDING ordered by
+    (ts, id_col) — quantiles are not additive, so the RANGE-minus-peer
+    trick expanding_zscore uses cannot exclude same-timestamp peers
+    here; the unique id tie-break keeps the frame deterministic, and
+    rows sharing a timestamp see the peers ordered before them
+    (documented relaxation; with event-time at microsecond grain ties
+    are measure-zero — use expanding_zscore when strict same-ts
+    exclusion matters). One exchange + one sort; the three quantiles
+    share one window spec, so they evaluate in a single Window operator.
+
+    Cross-engine exactness: Spark's `percentile` and DuckDB's
+    `quantile_cont` both interpolate lo + (hi - lo) * frac at index
+    p*(n-1) with IEEE doubles — measured bit-identical on the events
+    table (maxdiff 0.0); the fences reuse that plus one multiply/add.
+    """
+    by_l = _as_list(by)
+    p = out_prefix
+    d = df.withColumn("_epoch", _epoch(df, ts))
+    frame = (
+        f"PARTITION BY {', '.join(by_l)} ORDER BY _epoch, {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    d = (
+        d.withColumn(f"{p}_n_prev", F.expr(f"COUNT({value}) OVER ({frame})"))
+        .withColumn("_q1", F.expr(f"percentile({value}, 0.25) OVER ({frame})"))
+        .withColumn("_med", F.expr(f"percentile({value}, 0.5) OVER ({frame})"))
+        .withColumn("_q3", F.expr(f"percentile({value}, 0.75) OVER ({frame})"))
+    )
+    ok = F.col(f"{p}_n_prev") >= int(min_history)
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - F.lit(float(k)) * iqr
+    hi = F.col("_q3") + F.lit(float(k)) * iqr
+    v = F.col(value).cast("double")
+    return (
+        d.withColumn(f"{p}_median_prev", F.when(ok, F.col("_med")))
+        .withColumn(f"{p}_iqr_prev", F.when(ok, iqr))
+        .withColumn(f"{p}_is_outlier", F.when(ok, (v < lo) | (v > hi)))
+        .drop("_epoch", "_q1", "_med", "_q3")
+    )
+
+
 def target_encode(
     df: DataFrame,
     by,

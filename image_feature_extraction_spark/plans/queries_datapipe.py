@@ -2224,3 +2224,47 @@ def _bpe_train_sql() -> str:
 
 
 _register("q_bpe_train", q_bpe_train, _bpe_train_sql)
+
+
+def q_robust_outlier(spark, sf_dir):
+    """Expanding median/IQR Tukey-fence outlier flag per user over
+    strictly-prior rows (robust alternative to q_expanding_zscore for
+    heavy-tailed feature columns). Quantile interpolation is measured
+    bit-identical between Spark percentile and DuckDB quantile_cont."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = EN.expanding_robust_stats(
+        ev, by="user_id", ts="ts", value="value", id_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "rb_n_prev", "rb_median_prev", "rb_iqr_prev",
+        F.col("rb_is_outlier").cast("long").alias("rb_is_outlier"),
+    ).orderBy("event_id")
+
+
+_RB_FRAME = (
+    "PARTITION BY user_id ORDER BY epoch(ts), event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+_register(
+    "q_robust_outlier",
+    q_robust_outlier,
+    f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(value) OVER ({_RB_FRAME}) AS rb_n_prev,
+             quantile_cont(value, 0.25) OVER ({_RB_FRAME}) AS q1,
+             quantile_cont(value, 0.5)  OVER ({_RB_FRAME}) AS med,
+             quantile_cont(value, 0.75) OVER ({_RB_FRAME}) AS q3
+      FROM events
+    )
+    SELECT event_id, user_id, rb_n_prev,
+           CASE WHEN rb_n_prev >= 4 THEN med END AS rb_median_prev,
+           CASE WHEN rb_n_prev >= 4 THEN q3 - q1 END AS rb_iqr_prev,
+           CAST(CASE WHEN rb_n_prev >= 4 THEN
+             (CAST(value AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+              OR CAST(value AS DOUBLE) > q3 + 1.5 * (q3 - q1))
+           END AS BIGINT) AS rb_is_outlier
+    FROM w ORDER BY event_id
+    """,
+)

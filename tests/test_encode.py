@@ -170,3 +170,32 @@ def test_target_encode_no_future_leakage(spark):
         base[base.id < 2][cols].reset_index(drop=True),
         out[out.id < 2][cols].reset_index(drop=True),
     )
+
+
+def test_expanding_robust_stats_replay(spark, zs_rows):
+    out = (
+        EN.expanding_robust_stats(
+            _frame(spark, zs_rows),
+            by="ent", ts="ts", value="value", id_col="id", min_history=2,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    rows = pd.DataFrame(zs_rows, columns=["id", "ent", "ts", "value"])
+    rows = rows.sort_values(["ent", "ts", "id"]).reset_index(drop=True)
+    for _, r in rows.iterrows():
+        # history = prior rows in (ts, id) order within the entity
+        ent = rows[rows.ent == r.ent].reset_index(drop=True)
+        pos = ent.index[ent.id == r.id][0]
+        past = ent.value.iloc[:pos].to_numpy()
+        got = out[out.id == r.id].iloc[0]
+        assert got.rb_n_prev == len(past)
+        if len(past) >= 2:
+            q1, med, q3 = np.quantile(past, [0.25, 0.5, 0.75])
+            assert np.isclose(got.rb_median_prev, med)
+            assert np.isclose(got.rb_iqr_prev, q3 - q1)
+            expect = int(r.value < q1 - 1.5 * (q3 - q1) or r.value > q3 + 1.5 * (q3 - q1))
+            assert got.rb_is_outlier == expect
+        else:
+            assert pd.isna(got.rb_median_prev)
+            assert pd.isna(got.rb_is_outlier)

@@ -871,7 +871,10 @@ def _equalized_edges_sql() -> str:
     for (si, fi), chunks in sorted(acc.items()):
         sorted_vals = np.sort(np.concatenate(chunks))
         for ei, v in enumerate(K.equalized_edges(sorted_vals, EQUALIZED_BINS)):
-            vals.append(f"({si}, {fi}, {ei}, CAST({float(v)!r} AS DOUBLE))")
+            # Quoted string literal: a bare numeric literal parses as
+            # DECIMAL first and can lose the final ulp on the way to
+            # DOUBLE (observed on q_lm_score probabilities).
+            vals.append(f"({si}, {fi}, {ei}, CAST('{float(v)!r}' AS DOUBLE))")
     return f"""
     SELECT CAST(scale_idx AS BIGINT) AS scale_idx,
            CAST(feature_idx AS BIGINT) AS feature_idx,

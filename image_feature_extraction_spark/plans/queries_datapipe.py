@@ -2268,3 +2268,88 @@ _register(
     FROM w ORDER BY event_id
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-LM quality scoring (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import lm as LM  # noqa: E402
+
+LM_DOCS = 192
+LM_ALPHABET = 64
+LM_RARE_THR = 0.005
+
+
+def q_lm_score(spark, sf_dir):
+    """Learn bigram conditionals from the corpus, then score every doc's
+    transition typicality (mean/min probability, rare-transition count)
+    in one narrow Arrow pass with the model as a closure LUT. Oracle =
+    VALUES literal from an independent Counter-based replay."""
+    from .. import synth
+
+    corpus = synth.token_table(spark, LM_DOCS, partitions=8).select(
+        "doc_id",
+        F.transform("tokens", lambda x: x % LM_ALPHABET).alias("tokens"),
+    )
+    corpus = corpus.persist()
+    try:
+        model = LM.bigram_model(corpus)
+        out = LM.score_docs(
+            corpus, model, alphabet=LM_ALPHABET, rare_threshold=LM_RARE_THR
+        )
+        return out.orderBy("doc_id")
+    finally:
+        # score_docs already collected the model; the returned plan
+        # re-reads the cached corpus once when the driver materializes it.
+        corpus.unpersist(blocking=False)
+
+
+def _lm_score_sql() -> str:
+    """Independent replay: Counter-based model, per-doc numpy scoring
+    with the same deterministic summation contract."""
+    from collections import Counter
+
+    import numpy as np
+
+    from .. import synth
+
+    docs = {
+        synth.doc_id_of(i): [
+            int(t) % LM_ALPHABET for t in synth.doc_row(i)["tokens"]
+        ]
+        for i in range(LM_DOCS)
+    }
+    pair_c: Counter = Counter()
+    first_c: Counter = Counter()
+    for a in docs.values():
+        pair_c.update(zip(a, a[1:]))
+        first_c.update(a[:-1])
+    vals = []
+    for doc_id in sorted(docs):
+        a = docs[doc_id]
+        if len(a) < 2:
+            vals.append(f"('{doc_id}', 0, NULL, NULL, 0)")
+            continue
+        p = np.asarray(
+            [pair_c[(x, y)] / first_c[x] for x, y in zip(a, a[1:])],
+            dtype=np.float64,
+        )
+        mean_p = np.sum(p) / p.size
+        # Quoted string literals: a bare numeric literal would parse as
+        # DECIMAL first and lose the final ulp on the way to DOUBLE.
+        vals.append(
+            f"('{doc_id}', {p.size}, CAST('{mean_p!r}' AS DOUBLE), "
+            f"CAST('{p.min()!r}' AS DOUBLE), {int((p < LM_RARE_THR).sum())})"
+        )
+    return f"""
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(lm_mean_prob AS DOUBLE) AS lm_mean_prob,
+           CAST(lm_min_prob AS DOUBLE) AS lm_min_prob,
+           CAST(lm_n_rare AS BIGINT) AS lm_n_rare
+    FROM (VALUES {", ".join(vals)})
+         AS t(doc_id, n_bigrams, lm_mean_prob, lm_min_prob, lm_n_rare)
+    ORDER BY doc_id
+    """
+
+
+_register("q_lm_score", q_lm_score, _lm_score_sql)

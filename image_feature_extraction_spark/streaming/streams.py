@@ -200,3 +200,104 @@ def dedup_exact(
         .drop("_h")
     )
     return out
+
+
+ZSCORE_STATE_SCHEMA = "n long, s_cents long, ss_cents4 long"
+
+
+def streaming_zscore(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.encode.expanding_zscore``:
+    per-entity expanding z-score against strictly-earlier history, scored
+    as events arrive (applyInPandasWithState, update mode).
+
+    Bit-exact parity contract with the batch operator: state carries the
+    history as INTEGER cents (sum) and 10^-4 units (sum of squares) —
+    the streaming mirror of the batch DECIMAL(38,2)/(38,4) sums, immune
+    to accumulation order — and the float post-processing reproduces the
+    batch expression tree op for op (cents/100 and n are exact, every
+    (/, *, -, sqrt) is correctly rounded IEEE, so identical inputs give
+    identical bits). Values must carry at most 2 decimals (same contract
+    the batch decimals enforce); int64 cents bound the history at ~9e16
+    value-units per entity.
+
+    Within a micro-batch, rows are processed in (ts, id_col) order and
+    rows sharing a timestamp are scored against the SAME pre-group state
+    (the batch operator's peer-exclusion rule). Parity across batches
+    requires per-entity time-ordered arrival (the daily-increment shape,
+    SCALE.md); late data beyond that is a reprocess, not a state patch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, events.schema[id_col].dataType),
+            StructField(key, events.schema[key].dataType),
+            StructField("z_n_prev", LongType()),
+            StructField("z_mean_prev", DoubleType()),
+            StructField("z_var_prev", DoubleType()),
+            StructField("z_score", DoubleType()),
+        ]
+    )
+
+    def fn(key_, pdf_iter, state):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        n, s_c, ss_c = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
+        frames = []
+        for _, grp in pdf.groupby(ts, sort=True):
+            # Whole same-ts group scores against the pre-group state, so
+            # mean/var are group constants and the scores vectorize.
+            mean = var = None
+            k = len(grp)
+            if n >= 1:
+                mean = (float(s_c) / 100.0) / float(n)
+            if n >= 2:
+                var = (float(ss_c) / 10000.0) / float(n) - mean * mean
+            if var is not None and var > 0:
+                sc = (grp[value].to_numpy(np.float64) - mean) / math.sqrt(var)
+                sc = pd.Series(sc, dtype="object")
+            else:
+                sc = pd.Series([None] * k, dtype="object")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        key: [key_[0]] * k,
+                        "z_n_prev": np.full(k, n, dtype=np.int64),
+                        "z_mean_prev": [mean] * k,
+                        "z_var_prev": [var] * k,
+                        "z_score": sc,
+                    }
+                )
+            )
+            vc = np.round(grp[value].to_numpy() * 100.0).astype(np.int64)
+            n += k
+            s_c += int(vc.sum())
+            ss_c += int((vc * vc).sum())
+        state.update((n, s_c, ss_c))
+        yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -295,3 +295,57 @@ def test_streaming_decontaminate_parity(spark, tmp_path):
     assert (~got["is_contaminated"]).any()
     if any(is_eval(i) for i in range(2, 25, 2)):
         assert got["is_contaminated"].any()
+
+
+def test_streaming_zscore_parity_multibatch(spark, tmp_path):
+    """streaming_zscore == batch expanding_zscore BIT-EXACTLY, across
+    micro-batch boundaries, on time-ordered increments (the daily-
+    increment shape): integer-cents state mirrors the batch DECIMAL sums
+    and the float post-processing replays the same expression tree."""
+    import time as _time
+
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.encode import expanding_zscore
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    d = str(tmp_path / "ordered")
+    # three contiguous time slices written in order (ascending mtime) so
+    # per-entity arrival is time-ordered across micro-batches
+    bounds = events.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.33, 0.66))"
+    ).collect()[0][0]
+    lo = events.where(F.col("ts").cast("timestamp").cast("double") <= bounds[0])
+    mid = events.where(
+        (F.col("ts").cast("timestamp").cast("double") > bounds[0])
+        & (F.col("ts").cast("timestamp").cast("double") <= bounds[1])
+    )
+    hi = events.where(F.col("ts").cast("timestamp").cast("double") > bounds[1])
+    for part in (lo, mid, hi):
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    sdf = ST.stream_events(spark, d, events.schema, max_files_per_trigger=1)
+    ST.run_to_memory(ST.streaming_zscore(sdf), "zscore_stream", "update")
+    got = (
+        spark.table("zscore_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.event_id.nunique() == events.count()  # every event scored once
+    want = (
+        expanding_zscore(
+            spark.read.parquet(d), by="user_id", ts="ts", value="value"
+        )
+        .select(
+            "event_id", "user_id", "z_n_prev", "z_mean_prev", "z_var_prev",
+            "z_score",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact

@@ -304,3 +304,194 @@ def target_encode_oracle_sql(
              / (CAST(cum.te_n_prev AS DOUBLE) + {float(m)!r}) AS te_enc
     FROM d JOIN cum ON d.{by} = cum.{by} AND d.te_bucket = cum.te_bucket
     """
+
+
+# Decayed-feature constants, shared with the oracle generator so the two
+# sides cannot drift. Weights are DYADIC (2^-k): every weight, every
+# weighted term, and every partial sum is exactly representable in
+# float64 (see decayed_features), so the result is identical under ANY
+# accumulation order — the property that makes the cross-engine hash
+# exact without fixing either engine's aggregation schedule.
+DECAY_HORIZON = 20  # weights 2^0 .. 2^-(H-1); contributions >= H buckets old are 0
+DECAY_BUCKET_SEC = 86400.0  # one half-life per day by default
+
+
+def decay_weights(horizon: int = DECAY_HORIZON) -> list[float]:
+    """[1.0, 0.5, 0.25, ...] — weight for a bucket-age of k."""
+    return [0.5**k for k in range(int(horizon))]
+
+
+def decayed_features(
+    df: DataFrame,
+    by,
+    ts: str,
+    value: str,
+    bucket_seconds: float = DECAY_BUCKET_SEC,
+    horizon: int = DECAY_HORIZON,
+    out_prefix: str = "decay",
+) -> DataFrame:
+    """Exponentially time-decayed sum and count of an entity's strictly
+    earlier events — the feature-store "decayed counter" (recency-weighted
+    activity) with one half-life per time bucket.
+
+    For each row i: ``{p}_sum`` = sum over same-entity rows j with
+    ts_j < ts_i of value_j * 2^-(bk_i - bk_j), ``{p}_cnt`` = the same
+    with value_j replaced by 1 (non-null values only), where bk =
+    floor(epoch/bucket_seconds). Same-bucket history carries weight 1,
+    ages >= `horizon` buckets carry weight 0. Rows with a null timestamp
+    get null features and contribute no history. Leakage contract: rows
+    sharing a timestamp see the SAME history and never each other
+    (expanding_zscore's rule).
+
+    Cross-engine exactness (bit-for-bit vs the DuckDB oracle, any
+    accumulation order): values are held as integer CENTS (exact via
+    DECIMAL(18,2)*100), weights are powers of two, so cents * 2^-k only
+    shifts the float exponent — exact — and all partial sums are
+    multiples of 2^-(horizon-1) that stay exactly representable while the
+    per-(entity,bucket) decayed total is < 2^(53-horizon+1) cents
+    (~1.7e10 cents at horizon 20; beyond that the result degrades to
+    1-ulp-correct, never wrong). The only rounding in the whole pipeline
+    is the final single /100.0, identical on both sides.
+
+    Shape (100 TB): the corpus is exchanged once on (entity, bucket) —
+    the within-bucket expanding window and the decayed join share that
+    key. The cross-bucket machinery runs on per-(entity, bucket) partials
+    only: explode x(horizon-1) + re-group, a table bounded by active
+    entities x buckets regardless of raw row count. No corpus self-join,
+    no skewed category shuffle; a hot entity spreads across its buckets
+    exactly as in gaussian_time_smooth.
+    """
+    by_l = _as_list(by)
+    p = out_prefix
+    H = int(horizon)
+    ws = decay_weights(H)
+    d = df.withColumn("_e", _epoch(df, ts))
+    d = d.withColumn(
+        "_bk", F.floor(F.col("_e") / F.lit(float(bucket_seconds))).cast("long")
+    )
+    cents = f"CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    part_sql = ", ".join([*by_l, "_bk"])
+    incl = (
+        f"PARTITION BY {part_sql} ORDER BY _e "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    peer = (
+        f"PARTITION BY {part_sql} ORDER BY _e "
+        f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+    )
+    # same-bucket strictly-earlier history at weight 1: exact BIGINT sums
+    d = d.withColumn(
+        "_sb_cents",
+        F.expr(
+            f"CAST(COALESCE(SUM({cents}) OVER ({incl}), 0)"
+            f" - COALESCE(SUM({cents}) OVER ({peer}), 0) AS BIGINT)"
+        ),
+    ).withColumn(
+        "_sb_cnt",
+        F.expr(f"COUNT({value}) OVER ({incl}) - COUNT({value}) OVER ({peer})"),
+    )
+    # per-(entity, bucket) partials feed every LATER bucket within horizon
+    partials = (
+        d.where(F.col("_bk").isNotNull())
+        .groupBy(*by_l, "_bk")
+        .agg(
+            F.expr(f"CAST(COALESCE(SUM({cents}), 0) AS BIGINT)").alias("_bsum"),
+            F.expr(f"COUNT({value})").alias("_bcnt"),
+        )
+    )
+    shifted = partials.select(
+        *by_l,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_bk") + F.lit(k)).alias("_bk"),
+                        (F.col("_bsum").cast("double") * F.lit(ws[k])).alias("_wsum"),
+                        (F.col("_bcnt").cast("double") * F.lit(ws[k])).alias("_wcnt"),
+                    )
+                    for k in range(1, H)
+                ]
+            )
+        ).alias("_s"),
+    ).select(*by_l, "_s._bk", "_s._wsum", "_s._wcnt")
+    cross = shifted.groupBy(*by_l, "_bk").agg(
+        F.sum("_wsum").alias("_xsum"), F.sum("_wcnt").alias("_xcnt")
+    )
+    cond = F.col("l._bk") == F.col("r._bk")
+    for c in by_l:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    joined = d.alias("l").join(cross.alias("r"), cond, "left")
+    total_cents = F.col("_sb_cents").cast("double") + F.coalesce(
+        F.col("_xsum"), F.lit(0.0)
+    )
+    total_cnt = F.col("_sb_cnt").cast("double") + F.coalesce(
+        F.col("_xcnt"), F.lit(0.0)
+    )
+    ok = F.col("_e").isNotNull()
+    return joined.select(
+        *[F.col(f"l.{c}") for c in df.columns],
+        F.when(ok, total_cents / F.lit(100.0)).alias(f"{p}_sum"),
+        F.when(ok, total_cnt).alias(f"{p}_cnt"),
+    )
+
+
+def decayed_oracle_sql(
+    table: str,
+    by: str,
+    ts: str,
+    value: str,
+    select_cols: str,
+    bucket_seconds: float = DECAY_BUCKET_SEC,
+    horizon: int = DECAY_HORIZON,
+) -> str:
+    """DuckDB oracle for decayed_features, generated from the SAME
+    constants (bucket width, horizon, dyadic weight table) as the
+    operator. Because every intermediate is exactly representable (see
+    decayed_features), the two engines agree bit-for-bit regardless of
+    how either schedules its sums."""
+    H = int(horizon)
+    ws = decay_weights(H)
+    wk = ", ".join(f"({k}, {ws[k]!r})" for k in range(1, H))
+    cents = f"CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"""
+    WITH d AS (
+      SELECT *, epoch({ts}) AS e,
+             CAST(FLOOR(epoch({ts}) / {float(bucket_seconds)!r}) AS BIGINT) AS bk
+      FROM {table}
+    ),
+    w AS (
+      SELECT *,
+             CAST(COALESCE(SUM({cents}) OVER incl, 0)
+                  - COALESCE(SUM({cents}) OVER peer, 0) AS BIGINT) AS sb_cents,
+             COUNT({value}) OVER incl - COUNT({value}) OVER peer AS sb_cnt
+      FROM d
+      WINDOW incl AS (PARTITION BY {by}, bk ORDER BY e
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             peer AS (PARTITION BY {by}, bk ORDER BY e
+                      RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+    ),
+    partials AS (
+      SELECT {by}, bk, CAST(COALESCE(SUM({cents}), 0) AS BIGINT) AS bsum,
+             COUNT({value}) AS bcnt
+      FROM d WHERE bk IS NOT NULL GROUP BY {by}, bk
+    ),
+    shifted AS (
+      SELECT {by}, bk + wk.k AS bk,
+             CAST(bsum AS DOUBLE) * wk.w AS wsum,
+             CAST(bcnt AS DOUBLE) * wk.w AS wcnt
+      FROM partials CROSS JOIN (VALUES {wk}) AS wk(k, w)
+    ),
+    x AS (
+      SELECT {by}, bk, SUM(wsum) AS xsum, SUM(wcnt) AS xcnt
+      FROM shifted GROUP BY {by}, bk
+    )
+    SELECT {select_cols},
+           CASE WHEN w.e IS NOT NULL
+                THEN (CAST(w.sb_cents AS DOUBLE) + COALESCE(x.xsum, 0.0)) / 100.0
+           END AS decay_sum,
+           CASE WHEN w.e IS NOT NULL
+                THEN CAST(w.sb_cnt AS DOUBLE) + COALESCE(x.xcnt, 0.0)
+           END AS decay_cnt
+    FROM w LEFT JOIN x
+      ON w.{by} IS NOT DISTINCT FROM x.{by} AND w.bk = x.bk
+    """

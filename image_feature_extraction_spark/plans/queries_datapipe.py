@@ -2135,6 +2135,40 @@ _register(
     + " ORDER BY event_id",
 )
 
+
+DECAY_BUCKET_SEC = 21600.0  # 6-hour half-life buckets over the 30-day table
+
+
+def q_decayed_features(spark, sf_dir):
+    """Exponentially time-decayed per-entity activity (decayed sum +
+    count of strictly-earlier events, one half-life per 6-hour bucket) —
+    the feature-store recency counter, leakage-free like the other
+    encoders. Dyadic 2^-k weights keep every intermediate exactly
+    representable, so the DuckDB hash matches bit-for-bit without
+    pinning either engine's accumulation order."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = EN.decayed_features(
+        ev, by="user_id", ts="ts", value="value", bucket_seconds=DECAY_BUCKET_SEC
+    )
+    return out.select("event_id", "user_id", "decay_sum", "decay_cnt").orderBy(
+        "event_id"
+    )
+
+
+_register(
+    "q_decayed_features",
+    q_decayed_features,
+    EN.decayed_oracle_sql(
+        table="events",
+        by="user_id",
+        ts="ts",
+        value="value",
+        select_cols="w.event_id, w.user_id",
+        bucket_seconds=DECAY_BUCKET_SEC,
+    )
+    + " ORDER BY event_id",
+)
+
 # ---------------------------------------------------------------------------
 # Distributed BPE merge training (operators/bpe.py)
 # ---------------------------------------------------------------------------

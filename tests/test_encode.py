@@ -199,3 +199,89 @@ def test_expanding_robust_stats_replay(spark, zs_rows):
         else:
             assert pd.isna(got.rb_median_prev)
             assert pd.isna(got.rb_is_outlier)
+
+
+def test_decayed_features_replay(spark):
+    """Spark output == independent pandas replay of the definition:
+    w = 2^-(bk_i - bk_j) for strictly-earlier events within the horizon,
+    same-bucket history at weight 1, null ts -> null features."""
+    bucket = 10.0
+    rows = [
+        (0, "a", _ts(0), 10.0),
+        (1, "a", _ts(1), 2.0),      # same bucket as id 0
+        (2, "a", _ts(1), 4.0),      # same-ts peer of id 1: excluded from it
+        (3, "a", _ts(15), 8.0),     # one bucket later
+        (4, "a", _ts(25), 1.0),     # two buckets later
+        (5, "a", _ts(500), 1.0),    # 50 buckets later: beyond horizon 20
+        (6, "b", _ts(5), 3.0),
+        (7, "b", None, 7.0),        # null ts: null features, no history
+    ]
+    out = (
+        EN.decayed_features(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=bucket,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    pdf["e"] = pdf["ts"].map(lambda t: None if pd.isna(t) else (t - T0).total_seconds())
+    for _, r in pdf.iterrows():
+        got = out[out.id == r.id].iloc[0]
+        if pd.isna(r.e):
+            assert pd.isna(got.decay_sum) and pd.isna(got.decay_cnt)
+            continue
+        bki = int(np.floor(r.e / bucket))
+        s = c = 0.0
+        for _, j in pdf.iterrows():
+            if pd.isna(j.e) or j.ent != r.ent or not (j.e < r.e):
+                continue
+            age = bki - int(np.floor(j.e / bucket))
+            if age >= EN.DECAY_HORIZON:
+                continue
+            w = 0.5**age
+            s += j.value * w
+            c += w
+        assert got.decay_sum == pytest.approx(s, abs=1e-12), r.id
+        assert got.decay_cnt == pytest.approx(c, abs=1e-12), r.id
+    # spot-check the exact horizon/weight ladder: id 4 sees bucket-0 rows
+    # (ids 0,1,2) at 2^-2 and id 3 at 2^-1
+    got4 = out[out.id == 4].iloc[0]
+    assert got4.decay_sum == (10.0 + 2.0 + 4.0) * 0.25 + 8.0 * 0.5
+    assert got4.decay_cnt == 3 * 0.25 + 0.5
+    # id 5 is 50/49 buckets past everything: horizon zeroes all history
+    got5 = out[out.id == 5].iloc[0]
+    assert got5.decay_sum == 0.0 and got5.decay_cnt == 0.0
+
+
+def test_decayed_features_no_future_leakage(spark):
+    """Perturbing any value at ts >= t leaves features of rows at t
+    unchanged (the leakage contract shared by all encoders)."""
+    bucket = 10.0
+    rows = [
+        (0, "a", _ts(0), 10.0),
+        (1, "a", _ts(12), 2.0),
+        (2, "a", _ts(12), 4.0),
+        (3, "a", _ts(25), 8.0),
+    ]
+    base = (
+        EN.decayed_features(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=bucket,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    # perturb id 2 (same-ts peer of 1) and id 3 (future of both)
+    rows2 = [rows[0], rows[1], (2, "a", _ts(12), 400.0), (3, "a", _ts(25), 800.0)]
+    pert = (
+        EN.decayed_features(
+            _frame(spark, rows2), by="ent", ts="ts", value="value",
+            bucket_seconds=bucket,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    for i in (0, 1):
+        assert base.loc[i, "decay_sum"] == pert.loc[i, "decay_sum"]
+        assert base.loc[i, "decay_cnt"] == pert.loc[i, "decay_cnt"]

@@ -2065,10 +2065,9 @@ _ZS_DEC = "CAST(value AS DECIMAL(18,2))"
 _ZS_SQ = f"CAST({_ZS_DEC} * {_ZS_DEC} AS DECIMAL(38,4))"
 _ZS_MEAN = "CAST(sum_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)"
 
-_register(
-    "q_expanding_zscore",
-    q_expanding_zscore,
-    f"""
+# Shared by q_expanding_zscore and q_feature_assembly (embedded there as a
+# subquery) so the encoder's oracle expression tree exists exactly once.
+_ZS_ORACLE_CORE = f"""
     WITH d AS (
       SELECT event_id, user_id, value, epoch(ts) AS e FROM events
     ),
@@ -2098,8 +2097,13 @@ _register(
                      / sqrt(CAST(sumsq_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)
                             - ({_ZS_MEAN}) * ({_ZS_MEAN}))
            END AS z_score
-    FROM w ORDER BY event_id
-    """,
+    FROM w
+"""
+
+_register(
+    "q_expanding_zscore",
+    q_expanding_zscore,
+    _ZS_ORACLE_CORE + " ORDER BY event_id",
 )
 
 
@@ -2167,6 +2171,80 @@ _register(
         bucket_seconds=DECAY_BUCKET_SEC,
     )
     + " ORDER BY event_id",
+)
+
+
+def q_feature_assembly(spark, sf_dir):
+    """Feature-store point-in-time assembly — the north-rule deliverable
+    in one query: for every click, the leakage-free feature vector at
+    that entity x timestamp, combining (a) the latest purchase at or
+    before the click (as-of join), (b) the expanding z-score of the
+    user's strictly-earlier values, and (c) the decayed recency
+    counters. Every component is computed over the FULL event stream
+    (history includes all event types) and the click rows are projected
+    afterward; all three share the per-entity keying, so the corpus is
+    window-exchanged once and the as-of probe reuses the bucketed
+    strategy."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    feats = EN.expanding_zscore(ev, by="user_id", ts="ts", value="value")
+    feats = EN.decayed_features(
+        feats, by="user_id", ts="ts", value="value",
+        bucket_seconds=DECAY_BUCKET_SEC,
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = feats.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("click_value"),
+        "z_score", "decay_sum", "decay_cnt",
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id", bucket_width=86400.0
+    )
+    return out.select(
+        "event_id", "user_id", "click_value",
+        "z_score", "decay_sum", "decay_cnt", "purchase_value",
+    ).orderBy("event_id")
+
+
+_register(
+    "q_feature_assembly",
+    q_feature_assembly,
+    f"""
+    WITH zd AS ({_ZS_ORACLE_CORE}),
+    dc AS ({EN.decayed_oracle_sql(
+        table="events",
+        by="user_id",
+        ts="ts",
+        value="value",
+        select_cols="w.event_id",
+        bucket_seconds=DECAY_BUCKET_SEC,
+    )}),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.click_value,
+           zd.z_score, dc.decay_sum, dc.decay_cnt, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    JOIN zd ON zd.event_id = c.event_id
+    JOIN dc ON dc.event_id = c.event_id
+    ORDER BY c.event_id
+    """,
 )
 
 # ---------------------------------------------------------------------------

@@ -507,3 +507,43 @@ def token_vocab_stats(tokens_df: DataFrame, vocab_size: int) -> DataFrame:
         .cast("long")
         .alias("top_token_count"),
     )
+
+
+def temporal_holdout(
+    df: DataFrame,
+    by,
+    ts: str,
+    id_col: str,
+    valid_frac: float = 0.2,
+) -> DataFrame:
+    """Per-entity temporal train/valid split: each entity's LAST
+    floor(valid_frac * n) events (by timestamp, id tie-break) become
+    'valid', the rest 'train' — the leakage-safe evaluation split for
+    time-ordered feature pipelines (hash_split covers document-level
+    assignment; this covers the within-entity time axis, so a model is
+    always validated on events strictly later than everything it
+    trained on for that entity).
+
+    Adds ``holdout_rn`` (1-based time order within entity),
+    ``holdout_n`` (entity row count) and ``split``. Deterministic and
+    engine-exact: rank arithmetic is integer, and the single
+    floor(valid_frac * n) double op is correctly rounded on both sides.
+    One exchange + one sort (both window functions share the spec);
+    rows with a null timestamp still rank (nulls first — they can never
+    be 'valid' unless the entity is all-null-ts)."""
+    from .windows import _as_list
+
+    by_l = _as_list(by)
+    by_sql = ", ".join(by_l)
+    spec = f"PARTITION BY {by_sql}"
+    d = df.withColumn(
+        "holdout_rn",
+        F.expr(f"ROW_NUMBER() OVER ({spec} ORDER BY {ts}, {id_col})"),
+    ).withColumn("holdout_n", F.expr(f"COUNT(*) OVER ({spec})"))
+    n_valid = F.floor(F.lit(float(valid_frac)) * F.col("holdout_n").cast("double"))
+    return d.withColumn(
+        "split",
+        F.when(
+            F.col("holdout_rn") > F.col("holdout_n") - n_valid, F.lit("valid")
+        ).otherwise(F.lit("train")),
+    )

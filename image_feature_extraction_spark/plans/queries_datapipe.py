@@ -1737,6 +1737,43 @@ _register(
 )
 
 
+HOLDOUT_FRAC = 0.2
+
+
+def q_temporal_holdout(spark, sf_dir):
+    """Per-entity temporal holdout: the last floor(0.2 * n) events of
+    each user become 'valid' — the within-entity time-axis complement of
+    q_hash_split's document-level assignment. Integer rank arithmetic,
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = CU.temporal_holdout(
+        ev, by="user_id", ts="ts", id_col="event_id", valid_frac=HOLDOUT_FRAC
+    )
+    return out.select(
+        "event_id", "user_id", "holdout_rn", "holdout_n", "split"
+    ).orderBy("event_id")
+
+
+_register(
+    "q_temporal_holdout",
+    q_temporal_holdout,
+    f"""
+    SELECT event_id, user_id, holdout_rn, holdout_n,
+           CASE WHEN holdout_rn > holdout_n
+                     - CAST(FLOOR({HOLDOUT_FRAC!r} * holdout_n::DOUBLE) AS BIGINT)
+                THEN 'valid' ELSE 'train' END AS split
+    FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS holdout_rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS holdout_n
+      FROM events
+    )
+    ORDER BY event_id
+    """,
+)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Source temperature sampling at alpha=0.5: keep_prob =
     sqrt(c_min/c_s) per source, deterministic hash coin per doc. The kept

@@ -319,3 +319,39 @@ def test_token_vocab_stats_empty_source(spark):
     import pandas as pd
 
     assert pd.isna(e["top_token"]) and e["top_token_count"] == 0
+
+
+# -- temporal_holdout --------------------------------------------------------
+
+def test_temporal_holdout_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # entity a: 5 events, frac 0.4 -> last 2 are valid
+        (0, "a", ts(0)), (1, "a", ts(10)), (2, "a", ts(20)),
+        (3, "a", ts(30)), (4, "a", ts(40)),
+        # entity b: duplicate timestamps — id tie-break decides order
+        (5, "b", ts(0)), (6, "b", ts(5)), (7, "b", ts(5)),
+        # entity c: 1 event, floor(0.4*1)=0 -> all train
+        (8, "c", ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ent string, ts timestamp")
+    out = (
+        C.temporal_holdout(df, by="ent", ts="ts", id_col="id", valid_frac=0.4)
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    assert list(out.loc[[0, 1, 2], "split"]) == ["train"] * 3
+    assert list(out.loc[[3, 4], "split"]) == ["valid"] * 2
+    # b: floor(0.4*3)=1 -> only the LAST (ts=5, larger id) is valid
+    assert list(out.loc[[5, 6, 7], "split"]) == ["train", "train", "valid"]
+    assert out.loc[8, "split"] == "train"
+    # every valid event is strictly later-or-tied-by-id than every train
+    # event of the same entity
+    for ent in ("a", "b"):
+        sub = out[out.ent == ent]
+        assert sub[sub.split == "valid"].holdout_rn.min() > \
+            sub[sub.split == "train"].holdout_rn.max()

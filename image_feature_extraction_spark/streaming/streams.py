@@ -301,3 +301,46 @@ def streaming_zscore(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_asof_enrich(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols=None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Streaming point-in-time enrichment: as-of join a STREAM of probe
+    rows against a STATIC feature table — the online-serving shape of the
+    batch point-in-time join (each arriving event is enriched with the
+    latest feature row at or before its timestamp).
+
+    Delegates to asof_join_broadcast, whose left side is a single
+    mapInArrow over the probe rows — a narrow, stateless stage that
+    Structured Streaming runs per micro-batch with no watermark, state
+    store, or stream-stream join constraints. The right side is indexed
+    once at plan build (driver-side, counted and bounded); restart the
+    query to pick up feature-table changes — the same snapshot semantics
+    as a broadcast dimension in a stream-static join. Row-for-row parity
+    with the batch operator is by construction (same code path) and
+    regression-gated in tests/test_streaming.py.
+    """
+    from ..operators.asof import asof_join_broadcast
+
+    if static_right.isStreaming:
+        raise ValueError(
+            "streaming_asof_enrich: the right side must be a static "
+            "DataFrame (the feature snapshot); stream-stream as-of is not "
+            "supported"
+        )
+    return asof_join_broadcast(
+        stream_left,
+        static_right,
+        on=on,
+        by=by,
+        right_cols=right_cols,
+        direction=direction,
+        tolerance=tolerance,
+    )

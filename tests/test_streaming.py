@@ -349,3 +349,48 @@ def test_streaming_zscore_parity_multibatch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact
+
+
+def test_streaming_asof_enrich_parity(spark, events_dir):
+    """Stream-static as-of enrichment == the batch broadcast as-of join,
+    row for row, across multiple micro-batches."""
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.asof import asof_join_broadcast
+
+    batch = spark.read.parquet(events_dir)
+    purchases = (
+        batch.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    sdf = ST.stream_events(
+        spark, events_dir, _schema_of(spark, events_dir), max_files_per_trigger=1
+    ).select("event_id", "user_id", "ts", "value")
+    ST.run_to_memory(
+        ST.streaming_asof_enrich(sdf, purchases, on="ts", by="user_id"),
+        "asof_stream",
+        "append",
+    )
+    got = (
+        spark.table("asof_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join_broadcast(
+            batch.select("event_id", "user_id", "ts", "value"),
+            purchases,
+            on="ts",
+            by="user_id",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == batch.count()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # streaming right side is rejected up front
+    with pytest.raises(ValueError, match="static"):
+        ST.streaming_asof_enrich(sdf, sdf, on="ts", by="user_id")

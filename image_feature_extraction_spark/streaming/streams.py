@@ -344,3 +344,127 @@ def streaming_asof_enrich(
         direction=direction,
         tolerance=tolerance,
     )
+
+
+DECAY_STATE_SCHEMA = "base long, cents array<long>, cnts array<long>"
+
+
+def streaming_decayed(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: float = 21600.0,
+    horizon: int | None = None,
+) -> DataFrame:
+    """Streaming counterpart of ``operators.encode.decayed_features``:
+    per-entity exponentially time-decayed sum/count of strictly-earlier
+    events, scored as events arrive (applyInPandasWithState, update mode)
+    — the real-time serving form of the feature-store recency counter.
+
+    State is a ring of the last `horizon` buckets' (cents, count)
+    partials per entity — O(horizon) longs regardless of history length.
+    Because the batch operator's weights are dyadic (2^-k), every term
+    and partial sum here is exactly representable, so the stream
+    reproduces the batch output BIT-FOR-BIT under the same arrival
+    contract as streaming_zscore: per-entity time-ordered micro-batches
+    (the daily-increment shape); rows sharing a timestamp score against
+    the same pre-group state and never each other. Values must carry at
+    most 2 decimals (the batch DECIMAL(18,2) contract).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..operators.encode import DECAY_HORIZON
+
+    H = int(horizon if horizon is not None else DECAY_HORIZON)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, events.schema[id_col].dataType),
+            StructField(key, events.schema[key].dataType),
+            StructField("decay_sum", DoubleType()),
+            StructField("decay_cnt", DoubleType()),
+        ]
+    )
+    bs = float(bucket_seconds)
+
+    def fn(key_, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            base, cents, cnts = state.get
+            cents = np.asarray(cents, dtype=np.int64)
+            cnts = np.asarray(cnts, dtype=np.int64)
+        else:
+            base = None
+            cents = np.zeros(H, dtype=np.int64)
+            cnts = np.zeros(H, dtype=np.int64)
+        w = 0.5 ** np.arange(H)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
+        # NaT -> INT64_MIN under .astype(int64); mask null ts explicitly
+        tnull = pdf[ts].isna().to_numpy()
+        tsec = pdf[ts].astype("datetime64[us]").astype(np.int64) / 1e6
+        bks = np.floor(tsec / bs)
+        frames = []
+        for _, grp in pdf.groupby(ts, sort=True, dropna=False):
+            gi = grp.index
+            if tnull[gi[0]]:
+                # null-ts rows: null features, no history contribution
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            key: [key_[0]] * len(grp),
+                            "decay_sum": [None] * len(grp),
+                            "decay_cnt": [None] * len(grp),
+                        },
+                        dtype="object",
+                    )
+                )
+                continue
+            b = int(bks[gi[0]])
+            if base is None:
+                base = b
+            elif b > base:
+                shift = min(b - base, H)
+                cents = np.concatenate(
+                    [np.zeros(shift, dtype=np.int64), cents[: H - shift]]
+                )
+                cnts = np.concatenate(
+                    [np.zeros(shift, dtype=np.int64), cnts[: H - shift]]
+                )
+                base = b
+            # whole same-ts group scores against the pre-group ring;
+            # dyadic terms -> the sum order cannot change a bit
+            s = float(np.dot(cents.astype(np.float64), w)) / 100.0
+            c = float(np.dot(cnts.astype(np.float64), w))
+            k = len(grp)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        key: [key_[0]] * k,
+                        "decay_sum": [s] * k,
+                        "decay_cnt": [c] * k,
+                    }
+                )
+            )
+            vals = grp[value].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(vals)
+            cents[0] += int(np.round(vals[ok] * 100.0).astype(np.int64).sum())
+            cnts[0] += int(ok.sum())
+        if base is not None:
+            state.update((base, [int(x) for x in cents], [int(x) for x in cnts]))
+        yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -394,3 +394,53 @@ def test_streaming_asof_enrich_parity(spark, events_dir):
     # streaming right side is rejected up front
     with pytest.raises(ValueError, match="static"):
         ST.streaming_asof_enrich(sdf, sdf, on="ts", by="user_id")
+
+
+def test_streaming_decayed_parity_multibatch(spark, tmp_path):
+    """streaming_decayed == batch decayed_features BIT-EXACTLY across
+    micro-batch boundaries on time-ordered increments: the O(horizon)
+    bucket ring replays the batch dyadic arithmetic, which is immune to
+    accumulation order by construction."""
+    import time as _time
+
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.encode import decayed_features
+
+    BUCKET = 21600.0
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    d = str(tmp_path / "ordered")
+    bounds = events.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.33, 0.66))"
+    ).collect()[0][0]
+    e = F.col("ts").cast("timestamp").cast("double")
+    lo = events.where(e <= bounds[0])
+    mid = events.where((e > bounds[0]) & (e <= bounds[1]))
+    hi = events.where(e > bounds[1])
+    for part in (lo, mid, hi):
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    sdf = ST.stream_events(spark, d, events.schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        ST.streaming_decayed(sdf, bucket_seconds=BUCKET), "decay_stream", "update"
+    )
+    got = (
+        spark.table("decay_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.event_id.nunique() == events.count()
+    want = (
+        decayed_features(
+            spark.read.parquet(d), by="user_id", ts="ts", value="value",
+            bucket_seconds=BUCKET,
+        )
+        .select("event_id", "user_id", "decay_sum", "decay_cnt")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

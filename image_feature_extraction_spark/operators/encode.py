@@ -495,3 +495,33 @@ def decayed_oracle_sql(
     FROM w LEFT JOIN x
       ON w.{by} IS NOT DISTINCT FROM x.{by} AND w.bk = x.bk
     """
+
+
+def frequency_encode(
+    df: DataFrame,
+    by,
+    ts: str,
+    out_col: str = "fe_n_prev",
+) -> DataFrame:
+    """Leakage-free frequency (count) encoding: how many strictly-earlier
+    rows share this row's key tuple (e.g. (user, action) — "how often has
+    this user done this before"). Same peer-exclusion rule as the other
+    encoders: same-timestamp rows see the same history and never each
+    other. Integer window arithmetic — engine-exact; one exchange + one
+    sort (both COUNTs share the window spec)."""
+    by_l = _as_list(by)
+    d = df.withColumn("_epoch", _epoch(df, ts))
+    by_sql = ", ".join(by_l)
+    incl = (
+        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    peer = (
+        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+    )
+    d = d.withColumn(
+        out_col,
+        F.expr(f"COUNT(*) OVER ({incl}) - COUNT(*) OVER ({peer})"),
+    )
+    return d.drop("_epoch")

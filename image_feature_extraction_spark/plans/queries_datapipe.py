@@ -2177,6 +2177,33 @@ _register(
 )
 
 
+def q_frequency_encode(spark, sf_dir):
+    """Leakage-free count encoding of (user, event_type): strictly-earlier
+    occurrences of the same pair. Integer window arithmetic, engine-exact,
+    one exchange."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    out = EN.frequency_encode(ev, by=["user_id", "event_type"], ts="ts")
+    return out.select("event_id", "user_id", "event_type", "fe_n_prev").orderBy(
+        "event_id"
+    )
+
+
+_register(
+    "q_frequency_encode",
+    q_frequency_encode,
+    """
+    SELECT event_id, user_id, event_type,
+           COUNT(*) OVER incl - COUNT(*) OVER peer AS fe_n_prev
+    FROM (SELECT event_id, user_id, event_type, epoch(ts) AS e FROM events)
+    WINDOW incl AS (PARTITION BY user_id, event_type ORDER BY e
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         peer AS (PARTITION BY user_id, event_type ORDER BY e
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+
+
 DECAY_BUCKET_SEC = 21600.0  # 6-hour half-life buckets over the 30-day table
 
 
@@ -2219,9 +2246,12 @@ def q_feature_assembly(spark, sf_dir):
     user's strictly-earlier values, and (c) the decayed recency
     counters. Every component is computed over the FULL event stream
     (history includes all event types) and the click rows are projected
-    afterward; all three share the per-entity keying, so the corpus is
-    window-exchanged once and the as-of probe reuses the bucketed
-    strategy."""
+    afterward. The composed form pays one exchange per component (the
+    windows key on (user) and (user, bucket) respectively — verified in
+    the plan); a production pipeline materializes each feature table
+    once for many consumers, and the composition is registered so the
+    ASSEMBLED vector is independently oracle-checked (q_corpus_mix
+    precedent)."""
     from ..operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events").select(

@@ -285,3 +285,21 @@ def test_decayed_features_no_future_leakage(spark):
     for i in (0, 1):
         assert base.loc[i, "decay_sum"] == pert.loc[i, "decay_sum"]
         assert base.loc[i, "decay_cnt"] == pert.loc[i, "decay_cnt"]
+
+
+def test_frequency_encode_replay(spark):
+    """Strictly-earlier same-key counts; same-ts peers excluded."""
+    rows = [
+        (0, "a", _ts(0), 1.0),
+        (1, "a", _ts(10), 1.0),
+        (2, "a", _ts(10), 1.0),   # same-ts peer of id 1
+        (3, "a", _ts(20), 1.0),
+        (4, "b", _ts(0), 1.0),
+    ]
+    out = (
+        EN.frequency_encode(_frame(spark, rows), by="ent", ts="ts")
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    assert list(out["fe_n_prev"]) == [0, 1, 1, 3, 0]

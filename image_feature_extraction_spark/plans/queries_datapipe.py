@@ -2177,6 +2177,76 @@ _register(
 )
 
 
+LAG_SNAPSHOTS = (("1 HOUR", "1h"), ("24 HOURS", "24h"))
+
+
+def q_asof_lagged_snapshots(spark, sf_dir):
+    """Time-travel feature lookups: for each click, the latest purchase
+    value as of (t - 1h) and as of (t - 24h) — the delayed-snapshot
+    shape feature stores use when labels/features arrive late and the
+    freshest state must NOT be visible at serving time. Implemented as
+    as-of joins on interval-shifted probe timestamps; each lag reuses
+    the bucketed strategy unchanged."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    out = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    for iv, tag in LAG_SNAPSHOTS:
+        probe = (
+            out.withColumnRenamed("ts", "_ts_orig")
+            .withColumn("ts", F.expr(f"_ts_orig - INTERVAL {iv}"))
+        )
+        out = asof_join(
+            probe,
+            purchases.withColumnRenamed("pv", f"pv_{tag}"),
+            on="ts",
+            by="user_id",
+            bucket_width=86400.0,
+        ).select(
+            "event_id", "user_id", F.col("_ts_orig").alias("ts"),
+            *[c for c in probe.columns if c.startswith("pv_")],
+            f"pv_{tag}",
+        )
+    return out.select(
+        "event_id", "user_id",
+        *[f"pv_{tag}" for _, tag in LAG_SNAPSHOTS],
+    ).orderBy("event_id")
+
+
+_register(
+    "q_asof_lagged_snapshots",
+    q_asof_lagged_snapshots,
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS pv
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    l1 AS (
+      SELECT c.event_id, c.user_id, c.ts, p.pv AS pv_1h
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts - INTERVAL 1 HOUR
+    )
+    SELECT l1.event_id, l1.user_id, l1.pv_1h, p.pv AS pv_24h
+    FROM l1
+    ASOF LEFT JOIN purchases p
+      ON l1.user_id = p.user_id AND p.ts <= l1.ts - INTERVAL 24 HOURS
+    ORDER BY l1.event_id
+    """,
+)
+
+
 def q_frequency_encode(spark, sf_dir):
     """Leakage-free count encoding of (user, event_type): strictly-earlier
     occurrences of the same pair. Integer window arithmetic, engine-exact,

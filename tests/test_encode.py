@@ -303,3 +303,34 @@ def test_frequency_encode_replay(spark):
         .set_index("id")
     )
     assert list(out["fe_n_prev"]) == [0, 1, 1, 3, 0]
+
+
+def test_decayed_features_null_entity_and_value_exact(spark):
+    """Null entity keys form their own history group (window PARTITION BY
+    and the null-safe join agree); null values count for nothing; and the
+    replay comparison is BIT-EXACT — the dyadic-weight order-independence
+    claim, asserted with ==, not allclose."""
+    bucket = 10.0
+    rows = [
+        (0, None, _ts(0), 10.0),
+        (1, None, _ts(15), 2.0),    # sees id 0 at weight 0.5
+        (2, None, _ts(25), 4.0),    # sees id 0 at 0.25, id 1 at 0.5
+        (3, "a", _ts(0), None),     # null value: counts nothing
+        (4, "a", _ts(15), 6.0),     # history = only the null-value row
+    ]
+    out = (
+        EN.decayed_features(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=bucket,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc[0, "decay_sum"] == 0.0 and out.loc[0, "decay_cnt"] == 0.0
+    assert out.loc[1, "decay_sum"] == 10.0 * 0.5
+    assert out.loc[1, "decay_cnt"] == 0.5
+    assert out.loc[2, "decay_sum"] == 10.0 * 0.25 + 2.0 * 0.5
+    assert out.loc[2, "decay_cnt"] == 0.25 + 0.5
+    # null value contributes neither sum nor count
+    assert out.loc[4, "decay_sum"] == 0.0 and out.loc[4, "decay_cnt"] == 0.0

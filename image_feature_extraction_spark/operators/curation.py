@@ -538,7 +538,7 @@ def temporal_holdout(
     spec = f"PARTITION BY {by_sql}"
     d = df.withColumn(
         "holdout_rn",
-        F.expr(f"ROW_NUMBER() OVER ({spec} ORDER BY {ts}, {id_col})"),
+        F.expr(f"ROW_NUMBER() OVER ({spec} ORDER BY {ts} ASC NULLS FIRST, {id_col})"),
     ).withColumn("holdout_n", F.expr(f"COUNT(*) OVER ({spec})"))
     n_valid = F.floor(F.lit(float(valid_frac)) * F.col("holdout_n").cast("double"))
     return d.withColumn(

@@ -92,11 +92,11 @@ def expanding_zscore(
     d = df.withColumn("_epoch", _epoch(df, ts))
     by_sql = ", ".join(by_l)
     incl = (
-        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     peer = (
-        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     )
     dec = f"CAST({value} AS DECIMAL(18,2))"
@@ -172,7 +172,7 @@ def expanding_robust_stats(
     p = out_prefix
     d = df.withColumn("_epoch", _epoch(df, ts))
     frame = (
-        f"PARTITION BY {', '.join(by_l)} ORDER BY _epoch, {id_col} "
+        f"PARTITION BY {', '.join(by_l)} ORDER BY _epoch ASC NULLS FIRST, {id_col} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     )
     d = (
@@ -237,7 +237,7 @@ def target_encode(
     )
     by_sql = ", ".join(by_l)
     prev = (
-        f"PARTITION BY {by_sql} ORDER BY {p}_bucket "
+        f"PARTITION BY {by_sql} ORDER BY {p}_bucket ASC NULLS FIRST "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     )
     cum = partials.withColumn(
@@ -292,7 +292,7 @@ def target_encode_oracle_sql(
              CAST(COALESCE(SUM(n_g) OVER w, 0) AS BIGINT) AS te_n_prev,
              CAST(COALESCE(SUM(sum_g) OVER w, 0) AS DECIMAL(38,2)) AS sum_prev
       FROM partials
-      WINDOW w AS (PARTITION BY {by} ORDER BY te_bucket
+      WINDOW w AS (PARTITION BY {by} ORDER BY te_bucket ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT {select_cols},
@@ -372,11 +372,11 @@ def decayed_features(
     cents = f"CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT)"
     part_sql = ", ".join([*by_l, "_bk"])
     incl = (
-        f"PARTITION BY {part_sql} ORDER BY _e "
+        f"PARTITION BY {part_sql} ORDER BY _e ASC NULLS FIRST "
         f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     peer = (
-        f"PARTITION BY {part_sql} ORDER BY _e "
+        f"PARTITION BY {part_sql} ORDER BY _e ASC NULLS FIRST "
         f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     )
     # same-bucket strictly-earlier history at weight 1: exact BIGINT sums
@@ -465,9 +465,9 @@ def decayed_oracle_sql(
                   - COALESCE(SUM({cents}) OVER peer, 0) AS BIGINT) AS sb_cents,
              COUNT({value}) OVER incl - COUNT({value}) OVER peer AS sb_cnt
       FROM d
-      WINDOW incl AS (PARTITION BY {by}, bk ORDER BY e
+      WINDOW incl AS (PARTITION BY {by}, bk ORDER BY e ASC NULLS FIRST
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             peer AS (PARTITION BY {by}, bk ORDER BY e
+             peer AS (PARTITION BY {by}, bk ORDER BY e ASC NULLS FIRST
                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
     ),
     partials AS (
@@ -513,11 +513,11 @@ def frequency_encode(
     d = df.withColumn("_epoch", _epoch(df, ts))
     by_sql = ", ".join(by_l)
     incl = (
-        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
     peer = (
-        f"PARTITION BY {by_sql} ORDER BY _epoch "
+        f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     )
     d = d.withColumn(

@@ -1764,7 +1764,7 @@ _register(
                 THEN 'valid' ELSE 'train' END AS split
     FROM (
       SELECT event_id, user_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id)
                AS holdout_rn,
              COUNT(*) OVER (PARTITION BY user_id) AS holdout_n
       FROM events
@@ -2116,9 +2116,9 @@ _ZS_ORACLE_CORE = f"""
              CAST(COALESCE(SUM({_ZS_SQ}) OVER incl, 0) AS DECIMAL(38,4))
                - CAST(COALESCE(SUM({_ZS_SQ}) OVER peer, 0) AS DECIMAL(38,4)) AS sumsq_prev
       FROM d
-      WINDOW incl AS (PARTITION BY user_id ORDER BY e
+      WINDOW incl AS (PARTITION BY user_id ORDER BY e ASC NULLS FIRST
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             peer AS (PARTITION BY user_id ORDER BY e
+             peer AS (PARTITION BY user_id ORDER BY e ASC NULLS FIRST
                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
     )
     SELECT event_id, user_id, z_n_prev,
@@ -2265,9 +2265,9 @@ _register(
     SELECT event_id, user_id, event_type,
            COUNT(*) OVER incl - COUNT(*) OVER peer AS fe_n_prev
     FROM (SELECT event_id, user_id, event_type, epoch(ts) AS e FROM events)
-    WINDOW incl AS (PARTITION BY user_id, event_type ORDER BY e
+    WINDOW incl AS (PARTITION BY user_id, event_type ORDER BY e ASC NULLS FIRST
                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         peer AS (PARTITION BY user_id, event_type ORDER BY e
+         peer AS (PARTITION BY user_id, event_type ORDER BY e ASC NULLS FIRST
                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
     ORDER BY event_id
     """,
@@ -2491,7 +2491,7 @@ def q_robust_outlier(spark, sf_dir):
 
 
 _RB_FRAME = (
-    "PARTITION BY user_id ORDER BY epoch(ts), event_id "
+    "PARTITION BY user_id ORDER BY epoch(ts) ASC NULLS FIRST, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
 )
 

@@ -2602,3 +2602,87 @@ def _lm_score_sql() -> str:
 
 
 _register("q_lm_score", q_lm_score, _lm_score_sql)
+
+# ---------------------------------------------------------------------------
+# Feature monitoring: drift + rolling-origin backtest (operators/monitor.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import monitor as MO  # noqa: E402
+from ..operators import relevance as RV  # noqa: E402
+
+DRIFT_CUT = "2024-01-16 00:00:00"  # splits the 30-day events table ~in half
+DRIFT_BIN_W = 10.0
+DRIFT_BINS = 10
+
+
+def q_feature_drift(spark, sf_dir):
+    """Per-event-type distribution drift of `value` between the first and
+    second half of the events table: fixed-bin histograms for both
+    windows, total-variation distance, and the worst-shifted bin. All
+    proportions are exact integer divisions summed in a fixed expression
+    order; the arithmetic is one shared SQL text on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    return MO.feature_drift(
+        ev, by="event_type", ts="ts", value_col="value",
+        cut_ts=DRIFT_CUT, bin_width=DRIFT_BIN_W, n_bins=DRIFT_BINS,
+    ).orderBy("event_type")
+
+
+_register(
+    "q_feature_drift",
+    q_feature_drift,
+    MO.drift_oracle_sql(
+        "events", by="event_type", ts="ts", value_col="value",
+        cut_ts=DRIFT_CUT, bin_width=DRIFT_BIN_W, n_bins=DRIFT_BINS,
+    ) + " ORDER BY event_type",
+)
+
+
+BT_ORIGIN = "2024-01-01 00:00:00"
+BT_STEP_DAYS = 6
+BT_FOLDS = 4
+
+
+def q_backtest_folds(spark, sf_dir):
+    """Rolling-origin backtest summary: 4 expanding-window folds (train
+    always strictly precedes valid — the min_ts/max_ts audit columns
+    prove it per fold), summarized per (fold, role, event_type) with
+    exact DECIMAL cents. The K-fold generalization of
+    q_temporal_holdout's single split."""
+    ev = _t(spark, sf_dir, "events")
+    return MO.backtest_folds(
+        ev, ts="ts", by="event_type", value_col="value", user_col="user_id",
+        origin=BT_ORIGIN, step_days=BT_STEP_DAYS, n_folds=BT_FOLDS,
+    ).orderBy("fold", "role", "event_type")
+
+
+_register(
+    "q_backtest_folds",
+    q_backtest_folds,
+    MO.backtest_oracle_sql(
+        "events", ts="ts", by="event_type", value_col="value",
+        user_col="user_id", origin=BT_ORIGIN, step_days=BT_STEP_DAYS,
+        n_folds=BT_FOLDS,
+    ) + " ORDER BY fold, role, event_type",
+)
+
+
+BM25_TOPK = 3
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-3 BM25 terms per document. The one transcendental (idf's ln)
+    rides a driver-built LUT computed with math.log — bit-identical to
+    the oracle's native DuckDB ln (shared libm; relevance.py docstring
+    has the measurements); production uses idf="native" (in-engine
+    F.log, no LUT) at the cost of 1-ulp oracle agreement."""
+    d = _t(spark, sf_dir, "documents")
+    return RV.bm25_topk(d, k=BM25_TOPK, idf="lut").orderBy("doc_id", "rank")
+
+
+_register(
+    "q_bm25_topk",
+    q_bm25_topk,
+    RV.bm25_oracle_sql("documents", k=BM25_TOPK)
+    + " ORDER BY doc_id, rank",
+)

@@ -141,6 +141,96 @@ def feature_drift(
     return g.select(*keep)
 
 
+def reference_histogram(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group fixed-bin histogram of the TRAINING window — the static
+    side a serving-time drift monitor compares against
+    (streaming.streams.streaming_drift joins it broadcast into the live
+    stream). Columns: by, n_ref, r0..r{n-1} — the same layout
+    ``_drift_exprs`` consumes."""
+    b = F.expr(_bin_expr(value_col, bin_width, n_bins))
+    d = df.select(F.col(by), b.alias("_b"))
+    aggs = [F.count(F.lit(1)).alias("n_ref")] + [
+        F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"r{i}")
+        for i in range(n_bins)
+    ]
+    return d.groupBy(by).agg(*aggs)
+
+
+def drift_against_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    by: str,
+    ts: str,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+    window: str | None = None,
+) -> DataFrame:
+    """Drift of ``df`` (the current/serving window) against a static
+    ``reference_histogram``. Works IDENTICALLY on a batch frame and on a
+    readStream frame (streams.streaming_drift adds the watermark): the
+    broadcast join runs BEFORE the aggregation — row-wise and stateless,
+    the shape Structured Streaming permits (joins after a streaming
+    aggregation are unsupported) — and the reference counters ride
+    through the aggregation as MIN (constant per group, so MIN is
+    deterministic and order-independent).
+
+    With ``window`` (e.g. "1 day"), drift is computed per (event-time
+    window, group) — the serving-monitor cadence; without it, one row
+    per group over the whole input (matches feature_drift's current
+    window when df IS the post-cut slice).
+    """
+    b = F.expr(_bin_expr(value_col, bin_width, n_bins))
+    d = df.filter(F.col(ts).isNotNull()).select(
+        F.col(by), F.col(ts), b.alias("_b")
+    )
+    d = d.join(F.broadcast(reference), on=by)
+    keys = ([F.window(F.col(ts), window).alias("win")] if window else []) + [
+        F.col(by)
+    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("n_cur")]
+        + [
+            F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(n_bins)
+        ]
+        + [F.min("n_ref").alias("n_ref")]
+        + [F.min(f"r{i}").alias(f"r{i}") for i in range(n_bins)]
+    )
+    g = d.groupBy(*keys).agg(*aggs)
+    ex = _drift_exprs(n_bins)
+    g = g.withColumn("tv_distance", F.expr(ex["tv_distance"])).withColumn(
+        "_mx", F.expr(ex["max_bin_shift"])
+    )
+    g = g.withColumn("max_bin_shift", F.col("_mx")).withColumn(
+        "worst_bin", F.expr(ex["worst_bin"]).cast("int")
+    )
+    head = (
+        [F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end")]
+        if window
+        else []
+    )
+    return g.select(
+        *head,
+        by,
+        "n_ref",
+        "n_cur",
+        "tv_distance",
+        "max_bin_shift",
+        "worst_bin",
+    )
+
+
 def drift_oracle_sql(
     table: str,
     by: str,
@@ -183,6 +273,63 @@ def drift_oracle_sql(
                      {ex["max_bin_shift"]} AS _mx FROM counts)
     SELECT {", ".join(keep)}, tv_distance, _mx AS max_bin_shift,
            CAST({ex["worst_bin"]} AS INT) AS worst_bin
+    FROM stats
+    """
+
+
+def windowed_drift_oracle_sql(
+    table: str,
+    by: str,
+    ts: str,
+    value_col: str,
+    cut_ts: str,
+    bin_width: float,
+    n_bins: int,
+    window_sec: int,
+) -> str:
+    """DuckDB oracle for drift_against_reference(window=...): reference
+    from ts < cut, current per epoch-aligned tumbling window from
+    ts >= cut, same fragment builders, windows as epoch BIGINTs (Spark
+    side casts win.start to long — identical epoch alignment)."""
+    bexpr = _bin_expr(value_col, bin_width, n_bins)
+    r_cols = ", ".join(
+        ["COUNT(*) AS n_ref"]
+        + [
+            f"CAST(SUM(CASE WHEN _b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS r{i}"
+            for i in range(n_bins)
+        ]
+    )
+    c_cols = ", ".join(
+        ["COUNT(*) AS n_cur"]
+        + [
+            f"CAST(SUM(CASE WHEN _b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+            for i in range(n_bins)
+        ]
+    )
+    ex = _drift_exprs(n_bins)
+    return f"""
+    WITH ref AS (
+      SELECT {by}, {r_cols}
+      FROM (SELECT {by}, {bexpr} AS _b FROM {table}
+            WHERE {ts} < TIMESTAMP '{cut_ts}')
+      GROUP BY {by}
+    ),
+    cur AS (
+      SELECT win_start_epoch, {by}, {c_cols}
+      FROM (SELECT CAST(FLOOR(epoch({ts}) / {window_sec}) * {window_sec} AS BIGINT)
+                     AS win_start_epoch,
+                   {by}, {bexpr} AS _b
+            FROM {table} WHERE {ts} >= TIMESTAMP '{cut_ts}')
+      GROUP BY win_start_epoch, {by}
+    ),
+    stats AS (
+      SELECT cur.*, ref.n_ref, {", ".join(f"ref.r{i}" for i in range(n_bins))},
+             {ex["tv_distance"]} AS tv_distance,
+             {ex["max_bin_shift"]} AS _mx
+      FROM cur JOIN ref USING ({by})
+    )
+    SELECT win_start_epoch, {by}, n_ref, n_cur, tv_distance,
+           _mx AS max_bin_shift, CAST({ex["worst_bin"]} AS INT) AS worst_bin
     FROM stats
     """
 

@@ -2686,3 +2686,39 @@ _register(
     RV.bm25_oracle_sql("documents", k=BM25_TOPK)
     + " ORDER BY doc_id, rank",
 )
+
+
+def q_drift_windowed(spark, sf_dir):
+    """Serving-cadence drift monitor: training-window reference histogram
+    (ts < cut, broadcast) vs per-day tumbling windows of the post-cut
+    stream — the batch twin of streams.streaming_drift (parity-tested
+    there). Windows ride as epoch BIGINTs on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    ref = MO.reference_histogram(
+        ev.filter(F.col("ts") < F.expr(f"TIMESTAMP '{DRIFT_CUT}'")),
+        by="event_type", value_col="value",
+        bin_width=DRIFT_BIN_W, n_bins=DRIFT_BINS,
+    )
+    out = MO.drift_against_reference(
+        ev.filter(F.col("ts") >= F.expr(f"TIMESTAMP '{DRIFT_CUT}'")),
+        ref, by="event_type", ts="ts", value_col="value",
+        bin_width=DRIFT_BIN_W, n_bins=DRIFT_BINS, window="1 day",
+    )
+    return out.select(
+        # NTZ cannot cast to BIGINT directly; NTZ -> TIMESTAMP is exact
+        # under the UTC-pinned session, then -> epoch seconds
+        F.col("win_start").cast("timestamp").cast("long").alias("win_start_epoch"),
+        "event_type", "n_ref", "n_cur",
+        "tv_distance", "max_bin_shift", "worst_bin",
+    ).orderBy("win_start_epoch", "event_type")
+
+
+_register(
+    "q_drift_windowed",
+    q_drift_windowed,
+    MO.windowed_drift_oracle_sql(
+        "events", by="event_type", ts="ts", value_col="value",
+        cut_ts=DRIFT_CUT, bin_width=DRIFT_BIN_W, n_bins=DRIFT_BINS,
+        window_sec=86400,
+    ) + " ORDER BY win_start_epoch, event_type",
+)

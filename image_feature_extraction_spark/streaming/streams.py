@@ -468,3 +468,36 @@ def streaming_decayed(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_drift(
+    events: DataFrame,
+    reference: DataFrame,
+    by: str = "event_type",
+    ts: str = "ts",
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    n_bins: int = 10,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Serving-time distribution drift: per (event-time window, group)
+    TV distance of the live stream against a STATIC training-window
+    histogram (operators.monitor.reference_histogram, broadcast).
+
+    The join runs BEFORE the windowed aggregation — stateless row-wise
+    stream-static, the only join placement Structured Streaming allows
+    around an aggregation — and the drift arithmetic is the exact
+    fixed-order expression set the batch monitor uses, so batch replay
+    of the same files produces identical rows (parity-tested).
+
+    Scale: state is (window x group) histogram counters bounded by the
+    watermark horizon; the reference is |groups| x (n_bins+2) — always
+    broadcastable."""
+    from ..operators.monitor import drift_against_reference
+
+    events = _tz(events, ts).withWatermark(ts, watermark)
+    return drift_against_reference(
+        events, reference, by=by, ts=ts, value_col=value_col,
+        bin_width=bin_width, n_bins=n_bins, window=window,
+    )

@@ -444,3 +444,52 @@ def test_streaming_decayed_parity_multibatch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_streaming_drift_parity(spark, events_dir):
+    """Serving-time drift monitor: stream vs batch replay of the same
+    files must produce identical per-(window, group) drift rows; the
+    reference histogram comes from the same static files (self-drift,
+    so TV is small but nonzero per window)."""
+    from image_feature_extraction_spark.operators import monitor as MO
+
+    batch = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ref = MO.reference_histogram(
+        batch, by="event_type", value_col="value", bin_width=10.0, n_bins=6
+    )
+    sdf = ST.stream_events(spark, events_dir, _schema_of(spark, events_dir))
+    ST.run_to_memory(
+        ST.streaming_drift(
+            sdf, ref, bin_width=10.0, n_bins=6, window="1 day"
+        ),
+        "drift_stream",
+        "complete",
+    )
+    got = (
+        spark.table("drift_stream")
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    want = (
+        MO.drift_against_reference(
+            batch, ref, by="event_type", ts="ts", value_col="value",
+            bin_width=10.0, n_bins=6, window="1 day",
+        )
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # whole-input drift of the reference against itself is exactly zero
+    whole = MO.drift_against_reference(
+        batch, ref, by="event_type", ts="ts", value_col="value",
+        bin_width=10.0, n_bins=6,
+    ).toPandas()
+    assert (whole["tv_distance"] == 0.0).all()
+    assert (whole["n_cur"] == whole["n_ref"]).all()

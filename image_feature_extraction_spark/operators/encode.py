@@ -525,3 +525,51 @@ def frequency_encode(
         F.expr(f"COUNT(*) OVER ({incl}) - COUNT(*) OVER ({peer})"),
     )
     return d.drop("_epoch")
+
+
+def winsorize(
+    df: DataFrame,
+    by,
+    value: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_prefix: str = "wz",
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): clamp ``value``
+    into [quantile(p_lo), quantile(p_hi)] of its group — the standard
+    outlier-robust transform applied to heavy-tailed feature columns
+    before normalization.
+
+    Plan shape chosen for scale: the quantiles come from a
+    groupBy(by).agg(percentile) on ONLY (by, value) — the small result
+    (|groups| rows) broadcasts back and the full-width table never
+    shuffles (a partition-window formulation would exchange every
+    column). The reducer that computes a group's percentile buffers
+    that group's values; for near-degenerate grouping (one group owning
+    ~all of 10^12 rows) use operators/quantiles' distributed rank
+    selection instead — documented, same interpolation.
+
+    Cross-engine exactness: same percentile/quantile_cont bit-parity
+    contract as expanding_robust_stats (lo + (hi-lo)*frac at p*(n-1),
+    measured maxdiff 0.0); clamp is LEAST/GREATEST on bit-equal doubles.
+    NULL values pass through unclipped (flag NULL), and percentile
+    ignores NULLs on both engines.
+    """
+    by_l = _as_list(by)
+    p = out_prefix
+    q = df.select(*by_l, value).groupBy(*by_l).agg(
+        F.expr(f"percentile({value}, {float(p_lo)!r})").alias(f"{p}_lo"),
+        F.expr(f"percentile({value}, {float(p_hi)!r})").alias(f"{p}_hi"),
+    )
+    v = F.col(value).cast("double")
+    d = df.join(F.broadcast(q), by_l, "left")
+    # explicit guard: LEAST/GREATEST *skip* NULLs on both engines, which
+    # would silently clamp NULL values to the bounds — pass them through
+    ok = v.isNotNull() & F.col(f"{p}_lo").isNotNull() & F.col(f"{p}_hi").isNotNull()
+    clipped = F.when(
+        ok, F.least(F.greatest(v, F.col(f"{p}_lo")), F.col(f"{p}_hi"))
+    ).otherwise(v)
+    return d.withColumn(f"{p}_value", clipped).withColumn(
+        f"{p}_clipped",
+        F.when(ok, (v < F.col(f"{p}_lo")) | (v > F.col(f"{p}_hi"))),
+    )

@@ -2722,3 +2722,52 @@ _register(
         window_sec=86400,
     ) + " ORDER BY win_start_epoch, event_type",
 )
+
+
+WZ_P_LO = 0.05
+WZ_P_HI = 0.95
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-event-type percentile clipping of `value` (5th/95th): the
+    outlier-robust transform ahead of normalization. Quantiles ride a
+    tiny groupBy result broadcast back — the events table itself never
+    shuffles (plan-audited); percentile/quantile_cont interpolation is
+    the proven bit-parity contract (q_robust_outlier)."""
+    ev = _t(spark, sf_dir, "events")
+    out = EN.winsorize(
+        ev, by="event_type", value="value", p_lo=WZ_P_LO, p_hi=WZ_P_HI
+    )
+    return out.select(
+        "event_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+        "wz_lo", "wz_hi", "wz_value",
+        F.col("wz_clipped").cast("long").alias("wz_clipped"),
+    ).orderBy("event_id")
+
+
+_register(
+    "q_winsorize",
+    q_winsorize,
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, {WZ_P_LO!r}) AS wz_lo,
+             quantile_cont(value, {WZ_P_HI!r}) AS wz_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value, q.wz_lo, q.wz_hi,
+           CASE WHEN e.value IS NULL OR q.wz_lo IS NULL OR q.wz_hi IS NULL
+                THEN CAST(e.value AS DOUBLE)
+                ELSE LEAST(GREATEST(CAST(e.value AS DOUBLE), q.wz_lo), q.wz_hi)
+           END AS wz_value,
+           CAST(CASE WHEN e.value IS NULL OR q.wz_lo IS NULL OR q.wz_hi IS NULL
+                     THEN NULL
+                     ELSE (CAST(e.value AS DOUBLE) < q.wz_lo
+                           OR CAST(e.value AS DOUBLE) > q.wz_hi)
+                END AS BIGINT) AS wz_clipped
+    FROM events e LEFT JOIN q USING (event_type)
+    ORDER BY e.event_id
+    """,
+)

@@ -334,3 +334,44 @@ def test_decayed_features_null_entity_and_value_exact(spark):
     assert out.loc[2, "decay_cnt"] == 0.25 + 0.5
     # null value contributes neither sum nor count
     assert out.loc[4, "decay_sum"] == 0.0 and out.loc[4, "decay_cnt"] == 0.0
+
+
+# -- winsorize ---------------------------------------------------------------
+
+
+def test_winsorize_hand_values(spark):
+    from image_feature_extraction_spark.operators import encode as EN
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([0, 10, 20, 30, 100])]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    out = (
+        EN.winsorize(df, by="g", value="value", p_lo=0.25, p_hi=0.75)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # quantile_cont at p*(n-1): q25 over [0,10,20,30,100] -> index 1 -> 10;
+    # q75 -> index 3 -> 30
+    assert (out["wz_lo"] == 10.0).all() and (out["wz_hi"] == 30.0).all()
+    assert out["wz_value"].tolist() == [10.0, 10.0, 20.0, 30.0, 30.0]
+    assert out["wz_clipped"].tolist() == [True, False, False, False, True]
+
+
+def test_winsorize_null_value_passes_through(spark):
+    from image_feature_extraction_spark.operators import encode as EN
+
+    rows = [(0, "g", 1.0), (1, "g", 2.0), (2, "g", 3.0), (3, "g", None)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    out = (
+        EN.winsorize(df, by="g", value="value", p_lo=0.25, p_hi=0.75)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # NULL must NOT be clamped to the bounds (LEAST/GREATEST skip nulls)
+    assert out.loc[3, "wz_value"] is None or out.loc[3, "wz_value"] != out.loc[3, "wz_value"] or out.loc[3, "wz_value"] is None
+    import pandas as pd
+
+    assert pd.isna(out.loc[3, "wz_value"]) and pd.isna(out.loc[3, "wz_clipped"])
+    # quantiles computed over non-null values only
+    assert out.loc[0, "wz_lo"] == 1.5 and out.loc[0, "wz_hi"] == 2.5

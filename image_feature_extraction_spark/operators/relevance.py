@@ -90,7 +90,11 @@ def bm25_topk(
     idf="lut": hash-exact oracle-parity path (driver-built idf table,
     broadcast). idf="native": production path (F.log in-engine).
     """
+    from ..session import widen_small_scan
+
     spark = docs.sparkSession
+    docs = widen_small_scan(docs)  # pre-exchange tokenization must not
+    # serialize on a sub-split file scan; wide inputs pass through
     terms = docs.select(
         "doc_id", F.explode(words_of(F.col(text_col))).alias("term")
     )

@@ -95,6 +95,7 @@ def feature_drift(
     cut_ts: str,
     bin_width: float,
     n_bins: int,
+    bin_sql: str | None = None,
 ) -> DataFrame:
     """Per-group distribution drift of ``value_col`` between the reference
     window (ts < cut_ts) and the current window (ts >= cut_ts).
@@ -104,8 +105,14 @@ def feature_drift(
     total-variation distance, the largest per-bin proportion shift, and
     the bin where it happens. Rows with a NULL timestamp are excluded
     from both windows (documented, applied identically in the oracle).
+
+    ``bin_sql`` overrides the fixed-width numeric binning with an
+    arbitrary Spark-SQL expression yielding an INT in [0, n_bins) —
+    the CATEGORICAL drift path (hash-bucketed category, no category
+    dictionary needed; see q_categorical_drift). md5-derived hashes
+    need dialect-specific text, so the oracle takes its own override.
     """
-    b = F.expr(_bin_expr(value_col, bin_width, n_bins))
+    b = F.expr(bin_sql if bin_sql else _bin_expr(value_col, bin_width, n_bins))
     cur = F.col(ts).isNotNull() & (F.col(ts) >= F.expr(f"TIMESTAMP '{cut_ts}'"))
     ref = F.col(ts).isNotNull() & (F.col(ts) < F.expr(f"TIMESTAMP '{cut_ts}'"))
     d = df.select(F.col(by), b.alias("_b"), cur.alias("_cur"), ref.alias("_ref"))
@@ -239,12 +246,16 @@ def drift_oracle_sql(
     cut_ts: str,
     bin_width: float,
     n_bins: int,
+    bin_sql: str | None = None,
 ) -> str:
     """DuckDB oracle generated from the SAME fragment builders as the
     Spark operator (``_bin_expr`` / ``_drift_exprs``), so the expression
-    trees are identical by construction."""
+    trees are identical by construction. ``bin_sql``: DuckDB-dialect bin
+    override for the categorical path (md5 bucketing spells differently
+    per dialect; the VALUES are bit-equal by the package's md5_long
+    parity contract)."""
     binned = (
-        f"SELECT {by}, {_bin_expr(value_col, bin_width, n_bins)} AS _b, "
+        f"SELECT {by}, {bin_sql if bin_sql else _bin_expr(value_col, bin_width, n_bins)} AS _b, "
         f"({ts} IS NOT NULL AND {ts} >= TIMESTAMP '{cut_ts}') AS _cur, "
         f"({ts} IS NOT NULL AND {ts} < TIMESTAMP '{cut_ts}') AS _ref "
         f"FROM {table}"

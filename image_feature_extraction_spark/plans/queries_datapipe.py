@@ -2771,3 +2771,42 @@ _register(
     ORDER BY e.event_id
     """,
 )
+
+
+CAT_BINS = 8
+_CAT_BIN_SPARK = (
+    f"CAST(CAST(CONV(SUBSTRING(MD5(event_type), 1, 8), 16, 10) AS BIGINT)"
+    f" % {CAT_BINS} AS INT)"
+)
+_CAT_BIN_DUCK = (
+    f"CAST({MD5L.format(x='event_type')} % {CAT_BINS} AS INT)"
+)
+
+
+def q_categorical_drift(spark, sf_dir):
+    """Categorical-mix drift per user cohort: the event_type distribution
+    of each cohort (user_id % 4) compared across the table's two halves,
+    with categories HASH-BUCKETED (md5 % 8) so no category dictionary is
+    needed — the scale-correct categorical monitor (a new category lands
+    in a bucket and shifts it; the hash is the package's md5_long parity
+    contract, bit-equal in DuckDB)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string"))
+    )
+    return MO.feature_drift(
+        ev, by="cohort", ts="ts", value_col="event_type",
+        cut_ts=DRIFT_CUT, bin_width=1.0, n_bins=CAT_BINS,
+        bin_sql=_CAT_BIN_SPARK,
+    ).orderBy("cohort")
+
+
+_register(
+    "q_categorical_drift",
+    q_categorical_drift,
+    MO.drift_oracle_sql(
+        "(SELECT *, 'u' || CAST(user_id % 4 AS VARCHAR) AS cohort FROM events)",
+        by="cohort", ts="ts", value_col="event_type",
+        cut_ts=DRIFT_CUT, bin_width=1.0, n_bins=CAT_BINS,
+        bin_sql=_CAT_BIN_DUCK,
+    ) + " ORDER BY cohort",
+)

@@ -205,3 +205,32 @@ def test_bm25_idf_value_matches_duckdb_ln(spark):
     assert all(
         struct.pack("<d", a) == struct.pack("<d", b) for a, b in zip(py, du)
     )
+
+
+def test_categorical_drift_hash_buckets(spark):
+    """Categorical path: bin = md5(category) % n; a category swap between
+    windows shows up as two shifted buckets with TV = the swapped mass."""
+    import hashlib
+
+    def bucket(cat, n=8):
+        return int(hashlib.md5(cat.encode()).hexdigest()[:8], 16) % n
+
+    a, b = "alpha", "beta"
+    assert bucket(a) != bucket(b)  # fixture sanity: distinct buckets
+    rows = [
+        ("g", ts("2024-06-01 00:00:00"), a),
+        ("g", ts("2024-06-02 00:00:00"), a),
+        ("g", ts("2024-06-20 00:00:00"), b),
+        ("g", ts("2024-06-21 00:00:00"), b),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, cat string")
+    out = MO.feature_drift(
+        df, by="g", ts="ts", value_col="cat", cut_ts=CUT,
+        bin_width=1.0, n_bins=8,
+        bin_sql="CAST(CAST(CONV(SUBSTRING(MD5(cat), 1, 8), 16, 10) AS BIGINT) % 8 AS INT)",
+    ).collect()[0]
+    # all mass moved from bucket(a) to bucket(b): TV = 1, shift = 1
+    assert out["tv_distance"] == pytest.approx(1.0)
+    assert out["max_bin_shift"] == pytest.approx(1.0)
+    assert out[f"r{bucket(a)}"] == 2 and out[f"c{bucket(b)}"] == 2
+    assert out["worst_bin"] == min(bucket(a), bucket(b))

@@ -56,6 +56,15 @@ TE_SMOOTHING_M = 10.0
 TE_PRIOR = 50.0
 
 
+def cents_sql(col: str) -> str:
+    """Exact integer cents of a 2-decimal value column — the SINGLE
+    cross-engine fragment for order-independent money sums (DECIMAL cast
+    before scaling, so 6.55 never becomes 654.999...; identical text in
+    Spark and DuckDB). Shared by decayed_features, its oracle, and
+    monitor.backtest_folds."""
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
 def _epoch(df: DataFrame, ts: str):
     """Timestamp column as epoch-seconds double (TimestampNTZ normalized)."""
     from pyspark.sql.types import TimestampNTZType
@@ -369,7 +378,7 @@ def decayed_features(
     d = d.withColumn(
         "_bk", F.floor(F.col("_e") / F.lit(float(bucket_seconds))).cast("long")
     )
-    cents = f"CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cents = cents_sql(value)
     part_sql = ", ".join([*by_l, "_bk"])
     incl = (
         f"PARTITION BY {part_sql} ORDER BY _e ASC NULLS FIRST "
@@ -452,7 +461,7 @@ def decayed_oracle_sql(
     H = int(horizon)
     ws = decay_weights(H)
     wk = ", ".join(f"({k}, {ws[k]!r})" for k in range(1, H))
-    cents = f"CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cents = cents_sql(value)
     return f"""
     WITH d AS (
       SELECT *, epoch({ts}) AS e,

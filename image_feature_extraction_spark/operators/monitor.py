@@ -41,17 +41,25 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .encode import cents_sql
+
 # ---------------------------------------------------------------------------
 # Distribution drift between a reference and a current time window
 # ---------------------------------------------------------------------------
 
 
 def _bin_expr(value_col: str, bin_width: float, n_bins: int) -> str:
-    """Fixed-width value bin, clamped into [0, n_bins-1]. Shared SQL text:
+    """Fixed-width value bin, clamped into [0, n_bins-1]; NULL value ->
+    NULL bin. The IS NULL guard is load-bearing: LEAST/GREATEST *skip*
+    NULLs on both engines, so without it FLOOR(NULL/w) -> NULL would be
+    silently clamped into the TOP bin — a NULL regression upstream would
+    masquerade as a value explosion. NULL-binned rows are surfaced as
+    the explicit null_ref/null_cur slice instead. Shared SQL text:
     FLOOR of a correctly-rounded division, identical on both engines."""
     return (
+        f"CASE WHEN {value_col} IS NULL THEN NULL ELSE "
         f"CAST(GREATEST(LEAST(FLOOR(CAST({value_col} AS DOUBLE) / {bin_width!r}), "
-        f"{n_bins - 1}), 0) AS INT)"
+        f"{n_bins - 1}), 0) AS INT) END"
     )
 
 
@@ -100,8 +108,11 @@ def feature_drift(
     """Per-group distribution drift of ``value_col`` between the reference
     window (ts < cut_ts) and the current window (ts >= cut_ts).
 
-    Output per group: window totals, per-bin counts for both windows
-    (bin_0_ref..bin_{n-1}_ref / _cur — the auditable histogram itself),
+    Output per group: binned-row totals, the NULL-value slice
+    (null_ref/null_cur — rows in the window whose value/category is
+    NULL, counted separately so TV stays a true distribution distance
+    over observed values AND a null-rate regression is visible), per-bin
+    counts for both windows (the auditable histogram itself),
     total-variation distance, the largest per-bin proportion shift, and
     the bin where it happens. Rows with a NULL timestamp are excluded
     from both windows (documented, applied identically in the oracle).
@@ -116,9 +127,16 @@ def feature_drift(
     cur = F.col(ts).isNotNull() & (F.col(ts) >= F.expr(f"TIMESTAMP '{cut_ts}'"))
     ref = F.col(ts).isNotNull() & (F.col(ts) < F.expr(f"TIMESTAMP '{cut_ts}'"))
     d = df.select(F.col(by), b.alias("_b"), cur.alias("_cur"), ref.alias("_ref"))
+    binned = F.col("_b").isNotNull()
     aggs = [
-        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
-        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("_ref") & binned, 1).otherwise(0))
+        .cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("_cur") & binned, 1).otherwise(0))
+        .cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("_ref") & ~binned, 1).otherwise(0))
+        .cast("long").alias("null_ref"),
+        F.sum(F.when(F.col("_cur") & ~binned, 1).otherwise(0))
+        .cast("long").alias("null_cur"),
     ]
     for i in range(n_bins):
         aggs.append(
@@ -140,7 +158,7 @@ def feature_drift(
         "worst_bin", F.expr(ex["worst_bin"]).cast("int")
     )
     keep = (
-        [by, "n_ref", "n_cur"]
+        [by, "n_ref", "n_cur", "null_ref", "null_cur"]
         + [f"r{i}" for i in range(n_bins)]
         + [f"c{i}" for i in range(n_bins)]
         + ["tv_distance", "max_bin_shift", "worst_bin"]
@@ -158,11 +176,17 @@ def reference_histogram(
     """Per-group fixed-bin histogram of the TRAINING window — the static
     side a serving-time drift monitor compares against
     (streaming.streams.streaming_drift joins it broadcast into the live
-    stream). Columns: by, n_ref, r0..r{n-1} — the same layout
+    stream). Columns: by, n_ref (binned rows), null_ref (NULL-value
+    rows, kept out of the proportions), r0..r{n-1} — the layout
     ``_drift_exprs`` consumes."""
     b = F.expr(_bin_expr(value_col, bin_width, n_bins))
     d = df.select(F.col(by), b.alias("_b"))
-    aggs = [F.count(F.lit(1)).alias("n_ref")] + [
+    aggs = [
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+        .cast("long").alias("null_ref"),
+    ] + [
         F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
         .cast("long")
         .alias(f"r{i}")
@@ -194,25 +218,40 @@ def drift_against_reference(
     window, group) — the serving-monitor cadence; without it, one row
     per group over the whole input (matches feature_drift's current
     window when df IS the post-cut slice).
+
+    The reference join is LEFT so a group ABSENT from the training
+    window still emits a row (n_ref=0 -> NULL stats but live counts) —
+    a brand-new category in serving traffic is exactly what a drift
+    monitor must flag, not silently drop.
     """
     b = F.expr(_bin_expr(value_col, bin_width, n_bins))
     d = df.filter(F.col(ts).isNotNull()).select(
         F.col(by), F.col(ts), b.alias("_b")
     )
-    d = d.join(F.broadcast(reference), on=by)
+    d = d.join(F.broadcast(reference), on=by, how="left")
     keys = ([F.window(F.col(ts), window).alias("win")] if window else []) + [
         F.col(by)
     ]
+    binned = F.col("_b").isNotNull()
     aggs = (
-        [F.count(F.lit(1)).alias("n_cur")]
+        [
+            F.sum(F.when(binned, 1).otherwise(0)).cast("long").alias("n_cur"),
+            F.sum(F.when(~binned, 1).otherwise(0)).cast("long").alias("null_cur"),
+        ]
         + [
             F.sum(F.when(F.col("_b") == i, 1).otherwise(0))
             .cast("long")
             .alias(f"c{i}")
             for i in range(n_bins)
         ]
-        + [F.min("n_ref").alias("n_ref")]
-        + [F.min(f"r{i}").alias(f"r{i}") for i in range(n_bins)]
+        + [
+            F.coalesce(F.min("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.min("null_ref"), F.lit(0)).cast("long").alias("null_ref"),
+        ]
+        + [
+            F.coalesce(F.min(f"r{i}"), F.lit(0)).cast("long").alias(f"r{i}")
+            for i in range(n_bins)
+        ]
     )
     g = d.groupBy(*keys).agg(*aggs)
     ex = _drift_exprs(n_bins)
@@ -232,6 +271,8 @@ def drift_against_reference(
         by,
         "n_ref",
         "n_cur",
+        "null_ref",
+        "null_cur",
         "tv_distance",
         "max_bin_shift",
         "worst_bin",
@@ -261,8 +302,10 @@ def drift_oracle_sql(
         f"FROM {table}"
     )
     cnt_cols = [
-        "CAST(SUM(CASE WHEN _ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref",
-        "CAST(SUM(CASE WHEN _cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur",
+        "CAST(SUM(CASE WHEN _ref AND _b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ref",
+        "CAST(SUM(CASE WHEN _cur AND _b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cur",
+        "CAST(SUM(CASE WHEN _ref AND _b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ref",
+        "CAST(SUM(CASE WHEN _cur AND _b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cur",
     ]
     for i in range(n_bins):
         cnt_cols.append(
@@ -273,7 +316,7 @@ def drift_oracle_sql(
         )
     ex = _drift_exprs(n_bins)
     keep = (
-        [by, "n_ref", "n_cur"]
+        [by, "n_ref", "n_cur", "null_ref", "null_cur"]
         + [f"r{i}" for i in range(n_bins)]
         + [f"c{i}" for i in range(n_bins)]
     )
@@ -304,14 +347,16 @@ def windowed_drift_oracle_sql(
     side casts win.start to long — identical epoch alignment)."""
     bexpr = _bin_expr(value_col, bin_width, n_bins)
     r_cols = ", ".join(
-        ["COUNT(*) AS n_ref"]
+        ["CAST(SUM(CASE WHEN _b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ref",
+         "CAST(SUM(CASE WHEN _b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ref"]
         + [
             f"CAST(SUM(CASE WHEN _b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS r{i}"
             for i in range(n_bins)
         ]
     )
     c_cols = ", ".join(
-        ["COUNT(*) AS n_cur"]
+        ["CAST(SUM(CASE WHEN _b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cur",
+         "CAST(SUM(CASE WHEN _b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cur"]
         + [
             f"CAST(SUM(CASE WHEN _b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
             for i in range(n_bins)
@@ -334,13 +379,17 @@ def windowed_drift_oracle_sql(
       GROUP BY win_start_epoch, {by}
     ),
     stats AS (
-      SELECT cur.*, ref.n_ref, {", ".join(f"ref.r{i}" for i in range(n_bins))},
+      SELECT cur.*,
+             COALESCE(ref.n_ref, 0) AS n_ref,
+             COALESCE(ref.null_ref, 0) AS null_ref,
+             {", ".join(f"COALESCE(ref.r{i}, 0) AS r{i}" for i in range(n_bins))},
              {ex["tv_distance"]} AS tv_distance,
              {ex["max_bin_shift"]} AS _mx
-      FROM cur JOIN ref USING ({by})
+      FROM cur LEFT JOIN ref USING ({by})
     )
-    SELECT win_start_epoch, {by}, n_ref, n_cur, tv_distance,
-           _mx AS max_bin_shift, CAST({ex["worst_bin"]} AS INT) AS worst_bin
+    SELECT win_start_epoch, {by}, n_ref, n_cur, null_ref, null_cur,
+           tv_distance, _mx AS max_bin_shift,
+           CAST({ex["worst_bin"]} AS INT) AS worst_bin
     FROM stats
     """
 
@@ -393,9 +442,7 @@ def backtest_folds(
         F.col(ts).alias("_ts"),
         F.col(by),
         F.col(user_col).alias("_user"),
-        F.expr(
-            f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
-        ).alias("_cents"),
+        F.expr(cents_sql(value_col)).alias("_cents"),
     ).crossJoin(F.broadcast(folds))
     lab = lab.withColumn(
         "role",
@@ -433,7 +480,7 @@ def backtest_oracle_sql(
     WITH folds(fold, train_end, valid_end) AS (VALUES {rows}),
     lab AS (
       SELECT e.{ts} AS _ts, e.{by}, e.{user_col} AS _user,
-             CAST(CAST(e.{value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS _cents,
+             {cents_sql(f"e.{value_col}")} AS _cents,
              f.fold,
              CASE WHEN e.{ts} < f.train_end THEN 'train'
                   WHEN e.{ts} < f.valid_end THEN 'valid' END AS role

@@ -116,21 +116,20 @@ def bm25_topk(
     totals = docs.select(
         F.size(words_of(F.col(text_col))).cast("long").alias("dl")
     ).agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs"))
-    tf = tf.crossJoin(
-        F.broadcast(
-            totals.select(
-                (
-                    F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-                ).alias("avgdl"),
-                "n_docs",
-            )
-        )
-    )
     if idf == "lut":
-        n_docs, = [
-            int(r["n_docs"])
-            for r in totals.select("n_docs").collect()  # bounded: 1 row
-        ]
+        # ONE bounded collect (1 row) feeds avgdl/n_docs back as literals
+        # — re-using the `totals` plan in a crossJoin would re-execute
+        # the docs scan+aggregate a second time at action time. Python
+        # float division of the same two integers is the same correctly-
+        # rounded IEEE double the SQL division produces.
+        trow = totals.collect()[0]
+        n_docs = int(trow["n_docs"])
+        avgdl = (
+            float(trow["sum_dl"]) / float(n_docs) if n_docs else None
+        )
+        tf = tf.withColumn(
+            "avgdl", F.lit(avgdl).cast("double")
+        ).withColumn("n_docs", F.lit(n_docs).cast("long"))
         if n_docs > max_lut_rows:
             raise ValueError(
                 f"n_docs={n_docs} exceeds max_lut_rows={max_lut_rows}; "
@@ -142,6 +141,18 @@ def bm25_topk(
         )
         tf = tf.join(F.broadcast(lut), "df_count")
     elif idf == "native":
+        # no driver action on this path: totals stays a broadcast subplan
+        tf = tf.crossJoin(
+            F.broadcast(
+                totals.select(
+                    (
+                        F.col("sum_dl").cast("double")
+                        / F.col("n_docs").cast("double")
+                    ).alias("avgdl"),
+                    "n_docs",
+                )
+            )
+        )
         tf = tf.withColumn("idf", F.expr(f"LN{IDF_ARG_SQL}"))
     else:
         raise ValueError(f"unknown idf mode: {idf!r}")

@@ -2708,7 +2708,7 @@ def q_drift_windowed(spark, sf_dir):
         # NTZ cannot cast to BIGINT directly; NTZ -> TIMESTAMP is exact
         # under the UTC-pinned session, then -> epoch seconds
         F.col("win_start").cast("timestamp").cast("long").alias("win_start_epoch"),
-        "event_type", "n_ref", "n_cur",
+        "event_type", "n_ref", "n_cur", "null_ref", "null_cur",
         "tv_distance", "max_bin_shift", "worst_bin",
     ).orderBy("win_start_epoch", "event_type")
 

@@ -234,3 +234,55 @@ def test_categorical_drift_hash_buckets(spark):
     assert out["max_bin_shift"] == pytest.approx(1.0)
     assert out[f"r{bucket(a)}"] == 2 and out[f"c{bucket(b)}"] == 2
     assert out["worst_bin"] == min(bucket(a), bucket(b))
+
+
+def test_drift_null_value_slice(spark):
+    """NULL values must NOT be clamped into the top bin (LEAST/GREATEST
+    skip NULLs); they ride the explicit null_ref/null_cur slice and stay
+    out of the binned proportions."""
+    rows = [
+        ("g", ts("2024-06-01 00:00:00"), None),   # ref window, NULL value
+        ("g", ts("2024-06-02 00:00:00"), 5.0),
+        ("g", ts("2024-06-20 00:00:00"), 5.0),
+        ("g", ts("2024-06-21 00:00:00"), None),   # cur window, NULL value
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = MO.feature_drift(
+        df, by="g", ts="ts", value_col="value",
+        cut_ts=CUT, bin_width=10.0, n_bins=4,
+    ).collect()[0]
+    assert out["n_ref"] == 1 and out["n_cur"] == 1
+    assert out["null_ref"] == 1 and out["null_cur"] == 1
+    assert out["r3"] == 0 and out["c3"] == 0  # NOT silently top-binned
+    assert out["tv_distance"] == 0.0          # observed values identical
+
+
+def test_drift_against_reference_new_group_visible(spark):
+    """A group absent from the training reference must still emit a row
+    (n_ref=0, NULL stats) — the novel-category alarm a serving monitor
+    exists for — instead of being dropped by an inner join."""
+    ref_rows = [("seen", ts("2024-06-01 00:00:00"), 5.0)]
+    cur_rows = [
+        ("seen", ts("2024-06-20 00:00:00"), 15.0),
+        ("novel", ts("2024-06-20 00:00:00"), 25.0),
+    ]
+    sch = "g string, ts timestamp, value double"
+    ref = MO.reference_histogram(
+        spark.createDataFrame(ref_rows, sch), by="g", value_col="value",
+        bin_width=10.0, n_bins=4,
+    )
+    out = (
+        MO.drift_against_reference(
+            spark.createDataFrame(cur_rows, sch), ref, by="g", ts="ts",
+            value_col="value", bin_width=10.0, n_bins=4,
+        )
+        .toPandas()
+        .set_index("g")
+    )
+    assert set(out.index) == {"seen", "novel"}
+    import pandas as pd
+
+    nov = out.loc["novel"]
+    assert nov["n_ref"] == 0 and nov["n_cur"] == 1
+    assert pd.isna(nov["tv_distance"])  # guarded, not fabricated
+    assert out.loc["seen", "tv_distance"] == 1.0

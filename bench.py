@@ -205,18 +205,20 @@ def main() -> None:
         "q_checkpoint_ledger",  # contract demo (tempdir write/resume)
         "q_flagship_parity",    # contract demo (runs the flagship twice)
     }
-    # Best-of-2 per query: the first run pays one-time plan/codegen/worker
-    # costs and the host VM has minutes-scale throughput drift (documented
-    # in BENCH/BASELINE.md) — a single cold shot misattributes both to the
-    # query. When the two reps disagree by >2.5x the query is still inside
-    # a one-time cost window (observed: C2 JIT of large generated
-    # aggregates holds the md5-chain queries ~8x slow for the first ~20 s,
-    # then releases) — one extra rep resolves steady state without
-    # doubling the suite for the stable majority.
+    # Steady state per query: one UNTIMED warm-up execution (plan +
+    # codegen compile + python-worker setup; BENCH_r03 showed best-of-2
+    # alone does NOT absorb the ~20 s C2-JIT window on the large
+    # generated md5-chain aggregates — both timed reps landed inside it
+    # and q_dedup_minhash reported 8.5 s vs its 1.2 s steady state),
+    # then best-of-2 timed reps. When the timed reps still disagree by
+    # >2.5x the query is still inside a one-time cost window — one extra
+    # rep resolves steady state without tripling the suite for the
+    # stable majority.
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
         try:
+            _materialize(fn(spark, sf_dir))  # warm-up, not counted
             reps = []
             for _ in range(2):
                 t0 = time.time()

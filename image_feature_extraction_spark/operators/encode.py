@@ -95,6 +95,12 @@ def expanding_zscore(
     RANGE frame minus the RANGE CURRENT ROW..CURRENT ROW peer-group
     frame (peers = equal order value), so exclusion costs no extra
     shuffle, join, or sort — DECIMAL subtraction keeps it exact.
+
+    NULL timestamps (decayed_features' rule): a row with an unknown
+    event time may be FUTURE data, so it contributes NOTHING to any
+    row's history and all four of its own outputs are NULL. (NULLS
+    FIRST ordering alone would silently count such rows in every real
+    row's "strictly prior" sums — temporal leakage.)
     """
     by_l = _as_list(by)
     p = out_prefix
@@ -108,13 +114,20 @@ def expanding_zscore(
         f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     )
-    dec = f"CAST({value} AS DECIMAL(18,2))"
+    # NULL-ts rows contribute nothing to history: gate every windowed
+    # input on a known event time (COUNT/SUM skip NULLs).
+    val = f"CASE WHEN _epoch IS NOT NULL THEN {value} END"
+    dec = f"CAST({val} AS DECIMAL(18,2))"
     # DECIMAL(18,2)^2 -> exact 4-decimal squares; SUM widens to (38,4).
     sq = f"CAST({dec} * {dec} AS DECIMAL(38,4))"
+    valid = F.col("_epoch").isNotNull()
     d = (
         d.withColumn(
             f"{p}_n_prev",
-            F.expr(f"COUNT({value}) OVER ({incl}) - COUNT({value}) OVER ({peer})"),
+            F.when(
+                valid,
+                F.expr(f"COUNT({val}) OVER ({incl}) - COUNT({val}) OVER ({peer})"),
+            ),
         )
         .withColumn(
             "_sum_prev",
@@ -176,6 +189,14 @@ def expanding_robust_stats(
     `quantile_cont` both interpolate lo + (hi - lo) * frac at index
     p*(n-1) with IEEE doubles — measured bit-identical on the events
     table (maxdiff 0.0); the fences reuse that plus one multiply/add.
+
+    COST BOUNDARY (100x scale): `percentile` is not incrementally
+    computable, so the Window operator re-evaluates the growing
+    ROWS-frame buffer for EVERY row — O(n^2 log n)-ish per entity. Fine
+    for entities with thousands of history rows; a scale-killer at
+    10^6+. For long histories use ``bucketed_robust_stats``, which
+    freezes the quantiles at time-bucket granularity and pays one
+    percentile evaluation per (entity, bucket) instead of per row.
     """
     by_l = _as_list(by)
     p = out_prefix
@@ -203,6 +224,80 @@ def expanding_robust_stats(
     )
 
 
+def bucketed_robust_stats(
+    df: DataFrame,
+    by,
+    ts: str,
+    value: str,
+    bucket_seconds: float,
+    k: float = 1.5,
+    min_history: int = 4,
+    out_prefix: str = "rb",
+) -> DataFrame:
+    """Scale-safe sibling of ``expanding_robust_stats``: median/IQR/
+    Tukey-fence outlier flag against the entity's history, with the
+    quantiles FROZEN at time-bucket granularity — every row in bucket B
+    sees the quantiles of all rows in strictly-earlier buckets (< B),
+    never its own bucket (target_encode's within-batch guard).
+
+    Why this scales where the per-row variant does not: the history
+    frame is ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``
+    ordered by the integer bucket, so all rows of a bucket are frame
+    PEERS. Spark's unbounded-preceding frame processor only re-evaluates
+    the aggregate buffer when rows are ADDED to the frame — i.e. once
+    per (entity, bucket), not once per row (verified in the plan: one
+    Window operator, and measured: runtime tracks #buckets, not
+    #rows^2). Per-entity cost drops from O(rows * history log history)
+    to O(buckets * history log history); with daily buckets over years
+    that is a ~10^4-10^5x cut for a hot entity. The buffer itself still
+    holds the entity's history (quantiles need the multiset — window
+    spill disposition, same as operators/windows.py); histories too
+    large for that route to operators/quantiles' distributed rank
+    selection.
+
+    NULL timestamps follow decayed_features' rule: they contribute
+    nothing to any frame (gated window input) and get NULL features.
+
+    Cross-engine exactness: identical percentile/quantile_cont
+    interpolation contract as expanding_robust_stats; DuckDB's RANGE
+    1 PRECEDING over the same integer bucket yields the identical frame.
+    """
+    by_l = _as_list(by)
+    p = out_prefix
+    d = df.withColumn("_e", _epoch(df, ts))
+    d = d.withColumn(
+        "_bk", F.floor(F.col("_e") / F.lit(float(bucket_seconds))).cast("long")
+    )
+    frame = (
+        f"PARTITION BY {', '.join(by_l)} ORDER BY _bk ASC NULLS FIRST "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    # NULL-bucket rows must not feed anyone's history
+    val = f"CASE WHEN _bk IS NOT NULL THEN {value} END"
+    valid = F.col("_bk").isNotNull()
+    d = (
+        d.withColumn(
+            f"{p}_n_prev",
+            F.when(valid, F.expr(f"COUNT({val}) OVER ({frame})")),
+        )
+        .withColumn("_q1", F.expr(f"percentile({val}, 0.25) OVER ({frame})"))
+        .withColumn("_med", F.expr(f"percentile({val}, 0.5) OVER ({frame})"))
+        .withColumn("_q3", F.expr(f"percentile({val}, 0.75) OVER ({frame})"))
+    )
+    ok = F.col(f"{p}_n_prev") >= int(min_history)
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - F.lit(float(k)) * iqr
+    hi = F.col("_q3") + F.lit(float(k)) * iqr
+    v = F.col(value).cast("double")
+    return (
+        d.withColumn(f"{p}_bucket", F.when(valid, F.col("_bk")))
+        .withColumn(f"{p}_median_prev", F.when(ok, F.col("_med")))
+        .withColumn(f"{p}_iqr_prev", F.when(ok, iqr))
+        .withColumn(f"{p}_is_outlier", F.when(ok, (v < lo) | (v > hi)))
+        .drop("_e", "_bk", "_q1", "_med", "_q3")
+    )
+
+
 def target_encode(
     df: DataFrame,
     by,
@@ -226,6 +321,13 @@ def target_encode(
     encoding (sum_prev + m*prior) / (n_prev + m), which degrades to
     `prior` for unseen (category, first-bucket) rows instead of NULL.
 
+    NULL handling (decayed_features' rule): rows with a NULL timestamp
+    (NULL bucket) may be future data — they contribute NOTHING to any
+    bucket's history and their own features are NULL (NULLS FIRST bucket
+    ordering alone would leak them into every real bucket's past). A
+    NULL *category* is its own category (null-safe join back, matching
+    decayed_features' eqNullSafe on the entity key).
+
     Shape: partials per (category, bucket) -> cumulative window over the
     partial table -> equi-join back. The corpus is never hash-partitioned
     by the (low-cardinality, skewed) category alone.
@@ -240,9 +342,13 @@ def target_encode(
     else:
         d = d.withColumn(f"{p}_bucket", F.col("_epoch"))
     dec = f"CAST({label} AS DECIMAL(18,2))"
-    partials = d.groupBy(*by_l, f"{p}_bucket").agg(
-        F.expr(f"COUNT({label})").alias("_n_g"),
-        F.expr(f"CAST(COALESCE(SUM({dec}), 0) AS DECIMAL(38,2))").alias("_sum_g"),
+    partials = (
+        d.where(F.col(f"{p}_bucket").isNotNull())
+        .groupBy(*by_l, f"{p}_bucket")
+        .agg(
+            F.expr(f"COUNT({label})").alias("_n_g"),
+            F.expr(f"CAST(COALESCE(SUM({dec}), 0) AS DECIMAL(38,2))").alias("_sum_g"),
+        )
     )
     by_sql = ", ".join(by_l)
     prev = (
@@ -268,7 +374,19 @@ def target_encode(
             / (F.col("_n_prev").cast("double") + F.lit(float(m)))
         ).alias(f"{p}_enc"),
     )
-    return d.drop("_epoch").join(enc, on=[*by_l, f"{p}_bucket"], how="left")
+    # Null-safe on the category (NULL is a category), plain equality on
+    # the bucket (NULL bucket never matches -> NULL features).
+    cond = F.col(f"l.{p}_bucket") == F.col(f"r.{p}_bucket")
+    for c in by_l:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    out = d.drop("_epoch").alias("l").join(enc.alias("r"), cond, "left")
+    return out.select(
+        *[F.col(f"l.{c}") for c in df.columns],
+        F.col(f"l.{p}_bucket"),
+        F.col(f"r.{p}_n_prev"),
+        F.col(f"r.{p}_mean_prev"),
+        F.col(f"r.{p}_enc"),
+    )
 
 
 def target_encode_oracle_sql(
@@ -284,7 +402,10 @@ def target_encode_oracle_sql(
     """DuckDB oracle for target_encode, generated from the SAME constants
     the operator uses (m, prior, bucket width) so the sides cannot drift.
     Expression tree mirrors the Spark side op-for-op (decimal partials,
-    double division, + m*prior folded to one literal)."""
+    double division, + m*prior folded to one literal; NULL buckets
+    excluded from partials, null-safe LEFT join back — so NULL-ts rows
+    keep NULL features and a NULL category is its own category, exactly
+    the Spark operator's rule)."""
     mp = float(m) * float(prior)
     return f"""
     WITH d AS (
@@ -294,24 +415,27 @@ def target_encode_oracle_sql(
     partials AS (
       SELECT {by}, te_bucket, COUNT({label}) AS n_g,
              CAST(COALESCE(SUM(CAST({label} AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS sum_g
-      FROM d GROUP BY {by}, te_bucket
+      FROM d WHERE te_bucket IS NOT NULL GROUP BY {by}, te_bucket
     ),
     cum AS (
       SELECT {by}, te_bucket,
-             CAST(COALESCE(SUM(n_g) OVER w, 0) AS BIGINT) AS te_n_prev,
+             CAST(COALESCE(SUM(n_g) OVER w, 0) AS BIGINT) AS n_prev,
              CAST(COALESCE(SUM(sum_g) OVER w, 0) AS DECIMAL(38,2)) AS sum_prev
       FROM partials
       WINDOW w AS (PARTITION BY {by} ORDER BY te_bucket ASC NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT {select_cols},
-           cum.te_n_prev,
-           CASE WHEN cum.te_n_prev >= 1
-                THEN CAST(cum.sum_prev AS DOUBLE) / CAST(cum.te_n_prev AS DOUBLE)
+           cum.n_prev AS te_n_prev,
+           CASE WHEN cum.n_prev >= 1
+                THEN CAST(cum.sum_prev AS DOUBLE) / CAST(cum.n_prev AS DOUBLE)
            END AS te_mean_prev,
-           (CAST(cum.sum_prev AS DOUBLE) + {mp!r})
-             / (CAST(cum.te_n_prev AS DOUBLE) + {float(m)!r}) AS te_enc
-    FROM d JOIN cum ON d.{by} = cum.{by} AND d.te_bucket = cum.te_bucket
+           CASE WHEN cum.te_bucket IS NOT NULL
+                THEN (CAST(cum.sum_prev AS DOUBLE) + {mp!r})
+                     / (CAST(cum.n_prev AS DOUBLE) + {float(m)!r})
+           END AS te_enc
+    FROM d LEFT JOIN cum
+      ON d.{by} IS NOT DISTINCT FROM cum.{by} AND d.te_bucket = cum.te_bucket
     """
 
 
@@ -529,9 +653,16 @@ def frequency_encode(
         f"PARTITION BY {by_sql} ORDER BY _epoch ASC NULLS FIRST "
         f"RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
     )
+    # NULL-ts rows (unknown event time — possibly future) contribute
+    # nothing to any row's history and get a NULL count themselves, the
+    # same rule as expanding_zscore/decayed_features.
+    known = "CASE WHEN _epoch IS NOT NULL THEN 1 END"
     d = d.withColumn(
         out_col,
-        F.expr(f"COUNT(*) OVER ({incl}) - COUNT(*) OVER ({peer})"),
+        F.when(
+            F.col("_epoch").isNotNull(),
+            F.expr(f"COUNT({known}) OVER ({incl}) - COUNT({known}) OVER ({peer})"),
+        ),
     )
     return d.drop("_epoch")
 

@@ -75,7 +75,14 @@ def _score_batches(batches, lut, alpha, rare_threshold):
             if a.size < 2:
                 n_bi[i] = 0
                 continue
-            p = lut[a[:-1] * alpha + a[1:]]
+            # Out-of-range token ids (negative, or >= alphabet) must not
+            # silently wrap to the wrong LUT slot or crash the Arrow
+            # task: an unseen-vocabulary transition scores probability 0
+            # (maximally rare), same as a bigram absent from the model.
+            t1, t2 = a[:-1], a[1:]
+            bad = (t1 < 0) | (t1 >= alpha) | (t2 < 0) | (t2 >= alpha)
+            idx = np.where(bad, 0, t1 * alpha + t2)
+            p = np.where(bad, 0.0, lut[idx])
             n_bi[i] = p.size
             mean_p[i] = np.sum(p) / p.size
             min_p[i] = p.min()

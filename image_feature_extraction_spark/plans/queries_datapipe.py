@@ -2098,7 +2098,11 @@ def q_expanding_zscore(spark, sf_dir):
     ).orderBy("event_id")
 
 
-_ZS_DEC = "CAST(value AS DECIMAL(18,2))"
+# NULL-ts rows contribute nothing to any row's history (they may be
+# future data) and get NULL features — mirrored from expanding_zscore's
+# leakage rule by gating every windowed input on a known event time.
+_ZS_VAL = "CASE WHEN e IS NOT NULL THEN value END"
+_ZS_DEC = f"CAST({_ZS_VAL} AS DECIMAL(18,2))"
 _ZS_SQ = f"CAST({_ZS_DEC} * {_ZS_DEC} AS DECIMAL(38,4))"
 _ZS_MEAN = "CAST(sum_prev AS DOUBLE) / CAST(z_n_prev AS DOUBLE)"
 
@@ -2110,7 +2114,9 @@ _ZS_ORACLE_CORE = f"""
     ),
     w AS (
       SELECT event_id, user_id, value,
-             COUNT(value) OVER incl - COUNT(value) OVER peer AS z_n_prev,
+             CASE WHEN e IS NOT NULL
+                  THEN COUNT({_ZS_VAL}) OVER incl - COUNT({_ZS_VAL}) OVER peer
+             END AS z_n_prev,
              CAST(COALESCE(SUM({_ZS_DEC}) OVER incl, 0) AS DECIMAL(38,2))
                - CAST(COALESCE(SUM({_ZS_DEC}) OVER peer, 0) AS DECIMAL(38,2)) AS sum_prev,
              CAST(COALESCE(SUM({_ZS_SQ}) OVER incl, 0) AS DECIMAL(38,4))
@@ -2263,7 +2269,10 @@ _register(
     q_frequency_encode,
     """
     SELECT event_id, user_id, event_type,
-           COUNT(*) OVER incl - COUNT(*) OVER peer AS fe_n_prev
+           CASE WHEN e IS NOT NULL
+                THEN COUNT(CASE WHEN e IS NOT NULL THEN 1 END) OVER incl
+                     - COUNT(CASE WHEN e IS NOT NULL THEN 1 END) OVER peer
+           END AS fe_n_prev
     FROM (SELECT event_id, user_id, event_type, epoch(ts) AS e FROM events)
     WINDOW incl AS (PARTITION BY user_id, event_type ORDER BY e ASC NULLS FIRST
                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -2508,6 +2517,62 @@ _register(
       FROM events
     )
     SELECT event_id, user_id, rb_n_prev,
+           CASE WHEN rb_n_prev >= 4 THEN med END AS rb_median_prev,
+           CASE WHEN rb_n_prev >= 4 THEN q3 - q1 END AS rb_iqr_prev,
+           CAST(CASE WHEN rb_n_prev >= 4 THEN
+             (CAST(value AS DOUBLE) < q1 - 1.5 * (q3 - q1)
+              OR CAST(value AS DOUBLE) > q3 + 1.5 * (q3 - q1))
+           END AS BIGINT) AS rb_is_outlier
+    FROM w ORDER BY event_id
+    """,
+)
+
+RB_BUCKET_SEC = 86400.0
+
+
+def q_robust_outlier_bucketed(spark, sf_dir):
+    """Scale-safe robust outlier flag: median/IQR/Tukey fences of all
+    strictly-earlier DAILY buckets (quantiles frozen at bucket
+    granularity, evaluated once per (user, day) peer group instead of
+    once per row — the production path for entities with long
+    histories; q_robust_outlier's per-row expanding frame is the
+    fine-grained sibling for short histories)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = EN.bucketed_robust_stats(
+        ev, by="user_id", ts="ts", value="value", bucket_seconds=RB_BUCKET_SEC
+    )
+    return out.select(
+        "event_id", "user_id", "rb_bucket", "rb_n_prev", "rb_median_prev",
+        "rb_iqr_prev",
+        F.col("rb_is_outlier").cast("long").alias("rb_is_outlier"),
+    ).orderBy("event_id")
+
+
+_RB2_VAL = "CASE WHEN bk IS NOT NULL THEN value END"
+_RB2_FRAME = (
+    "PARTITION BY user_id ORDER BY bk ASC NULLS FIRST "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+_register(
+    "q_robust_outlier_bucketed",
+    q_robust_outlier_bucketed,
+    f"""
+    WITH d AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(epoch(ts) / {RB_BUCKET_SEC!r}) AS BIGINT) AS bk
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, value, bk,
+             CASE WHEN bk IS NOT NULL
+                  THEN COUNT({_RB2_VAL}) OVER ({_RB2_FRAME}) END AS rb_n_prev,
+             quantile_cont({_RB2_VAL}, 0.25) OVER ({_RB2_FRAME}) AS q1,
+             quantile_cont({_RB2_VAL}, 0.5)  OVER ({_RB2_FRAME}) AS med,
+             quantile_cont({_RB2_VAL}, 0.75) OVER ({_RB2_FRAME}) AS q3
+      FROM d
+    )
+    SELECT event_id, user_id, bk AS rb_bucket, rb_n_prev,
            CASE WHEN rb_n_prev >= 4 THEN med END AS rb_median_prev,
            CASE WHEN rb_n_prev >= 4 THEN q3 - q1 END AS rb_iqr_prev,
            CAST(CASE WHEN rb_n_prev >= 4 THEN

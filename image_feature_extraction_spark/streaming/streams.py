@@ -272,7 +272,9 @@ def streaming_zscore(
                 var = (float(ss_c) / 10000.0) / float(n) - mean * mean
             if var is not None and var > 0:
                 sc = (grp[value].to_numpy(np.float64) - mean) / math.sqrt(var)
-                sc = pd.Series(sc, dtype="object")
+                # NULL values score NULL (the batch operator's NULL
+                # arithmetic), not NaN-on-the-wire
+                sc = pd.Series(sc, dtype="object").where(~np.isnan(sc.astype(np.float64)), None)
             else:
                 sc = pd.Series([None] * k, dtype="object")
             frames.append(
@@ -287,8 +289,14 @@ def streaming_zscore(
                     }
                 )
             )
-            vc = np.round(grp[value].to_numpy() * 100.0).astype(np.int64)
-            n += k
+            # Mask NULLs before rounding (streaming_decayed's rule):
+            # np.round(NaN).astype(int64) is undefined garbage that would
+            # permanently corrupt the cents state, and the batch operator's
+            # COUNT(value)/DECIMAL sums skip NULLs.
+            vals = grp[value].to_numpy(np.float64)
+            ok = ~np.isnan(vals)
+            vc = np.round(vals[ok] * 100.0).astype(np.int64)
+            n += int(ok.sum())
             s_c += int(vc.sum())
             ss_c += int((vc * vc).sum())
         state.update((n, s_c, ss_c))

@@ -374,3 +374,154 @@ def test_winsorize_null_value_passes_through(spark):
     assert pd.isna(out.loc[3, "wz_value"]) and pd.isna(out.loc[3, "wz_clipped"])
     # quantiles computed over non-null values only
     assert out.loc[0, "wz_lo"] == 1.5 and out.loc[0, "wz_hi"] == 2.5
+
+
+# -- NULL-timestamp leakage rule (ADVICE round 3) ----------------------------
+
+
+def _null_ts_rows():
+    # id 2 has an unknown event time and a huge value: if it leaked into
+    # anyone's "strictly prior" history the means/counts would move.
+    return [
+        (0, "a", _ts(0), 10.0),
+        (1, "a", _ts(10), 20.0),
+        (2, "a", None, 1e6),
+        (3, "a", _ts(20), 30.0),
+    ]
+
+
+def test_expanding_zscore_null_ts_contributes_nothing(spark):
+    rows = _null_ts_rows()
+    out = (
+        EN.expanding_zscore(_frame(spark, rows), by="ent", ts="ts", value="value")
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    clean = (
+        EN.expanding_zscore(
+            _frame(spark, [r for r in rows if r[2] is not None]),
+            by="ent", ts="ts", value="value",
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    cols = ["z_n_prev", "z_mean_prev", "z_var_prev", "z_score"]
+    # real rows: identical to a run without the null-ts row
+    pd.testing.assert_frame_equal(
+        out.loc[[0, 1, 3], cols], clean[cols], check_dtype=False
+    )
+    # the null-ts row itself: all features NULL
+    assert out.loc[2, cols].isna().all()
+
+
+def test_frequency_encode_null_ts_contributes_nothing(spark):
+    rows = _null_ts_rows()
+    out = (
+        EN.frequency_encode(_frame(spark, rows), by="ent", ts="ts")
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    assert list(out.loc[[0, 1, 3], "fe_n_prev"]) == [0, 1, 2]
+    assert pd.isna(out.loc[2, "fe_n_prev"])
+
+
+def test_target_encode_null_ts_and_null_category(spark):
+    rows = [
+        (0, "x", _ts(0), 10.0),
+        (1, "x", _ts(3700), 30.0),   # bucket 1: sees id 0
+        (2, "x", None, 1e6),         # unknown time: no contribution, NULL features
+        (3, "x", _ts(7300), 50.0),   # bucket 2: sees ids 0,1 — NOT id 2
+        (4, None, _ts(0), 8.0),      # NULL category is its own category
+        (5, None, _ts(3700), 12.0),  # sees id 4
+    ]
+    out = (
+        EN.target_encode(
+            _frame(spark, rows), by="ent", ts="ts", label="value",
+            time_bucket=3600.0,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    m, prior = EN.TE_SMOOTHING_M, EN.TE_PRIOR
+    assert out.loc[1, "te_n_prev"] == 1 and out.loc[1, "te_mean_prev"] == 10.0
+    # id 3's history is ids 0+1 only — the null-ts 1e6 never leaked in
+    assert out.loc[3, "te_n_prev"] == 2 and out.loc[3, "te_mean_prev"] == 20.0
+    assert np.isclose(out.loc[3, "te_enc"], (40.0 + m * prior) / (2 + m))
+    # null-ts row: NULL features (bucket never matches)
+    assert out.loc[2, ["te_n_prev", "te_mean_prev", "te_enc"]].isna().all()
+    # null category forms its own history group via the null-safe join
+    assert out.loc[5, "te_n_prev"] == 1 and out.loc[5, "te_mean_prev"] == 8.0
+
+
+# -- bucketed_robust_stats (scale-safe sibling of expanding_robust_stats) ----
+
+
+def test_bucketed_robust_stats_replay(spark):
+    """Quantiles frozen at bucket granularity: every row in bucket B sees
+    Q1/med/Q3 of all rows in buckets < B (never its own bucket); NULL-ts
+    rows contribute nothing and get NULL features."""
+    bucket = 100.0
+    rows = [
+        (0, "a", _ts(0), 10.0),     # bucket 0
+        (1, "a", _ts(50), 20.0),    # bucket 0 (peer: same history as id 0)
+        (2, "a", _ts(150), 30.0),   # bucket 1
+        (3, "a", None, 1e6),        # null ts: invisible
+        (4, "a", _ts(250), 40.0),   # bucket 2
+        (5, "a", _ts(350), 500.0),  # bucket 3: history {10,20,30,40}
+        (6, "a", _ts(360), 25.0),   # bucket 3 peer
+    ]
+    out = (
+        EN.bucketed_robust_stats(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=bucket, min_history=4,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    # ids 0,1 share bucket 0: no history
+    assert out.loc[0, "rb_n_prev"] == 0 and out.loc[1, "rb_n_prev"] == 0
+    # id 2 sees bucket 0 only (2 rows) — below min_history -> NULL stats
+    assert out.loc[2, "rb_n_prev"] == 2 and pd.isna(out.loc[2, "rb_median_prev"])
+    # null-ts row: everything NULL
+    assert out.loc[3, ["rb_bucket", "rb_n_prev", "rb_median_prev"]].isna().all()
+    # ids 5,6: history {10,20,30,40} (the 1e6 never leaked in)
+    hist = np.array([10.0, 20.0, 30.0, 40.0])
+    q1, med, q3 = np.percentile(hist, [25, 50, 75])  # same p*(n-1) interpolation
+    for rid, v, want_out in ((5, 500.0, True), (6, 25.0, False)):
+        got = out.loc[rid]
+        assert got.rb_n_prev == 4
+        assert np.isclose(got.rb_median_prev, med)
+        assert np.isclose(got.rb_iqr_prev, q3 - q1)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert bool(got.rb_is_outlier) == want_out == (v < lo or v > hi)
+
+
+def test_bucketed_matches_perrow_on_singleton_buckets(spark, zs_rows):
+    """With buckets fine enough that every timestamp is its own bucket
+    and no duplicate timestamps, the bucketed and per-row variants agree."""
+    rows = [r for r in zs_rows if r[1] == "a"]  # entity a: distinct ts
+    per_row = (
+        EN.expanding_robust_stats(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            id_col="id", min_history=1,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    bucketed = (
+        EN.bucketed_robust_stats(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=1.0, min_history=1,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    cols = ["rb_n_prev", "rb_median_prev", "rb_iqr_prev", "rb_is_outlier"]
+    pd.testing.assert_frame_equal(
+        per_row[cols], bucketed[cols], check_dtype=False
+    )

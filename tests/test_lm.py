@@ -82,3 +82,33 @@ def test_score_docs_lut_guard(spark):
             rare_threshold=0.1,
             max_model_rows=1 << 10,
         )
+
+
+def test_score_docs_out_of_range_tokens(spark):
+    """Negative ids must not wrap to a wrong LUT slot; ids >= alphabet
+    must not crash the Arrow task: both score as probability 0 (rare)."""
+    from image_feature_extraction_spark.operators import lm as LM
+
+    alphabet = 4
+    model = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.25)], "t1 long, t2 long, p double"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("ok", [0, 1, 2]),          # in-range: p = [0.5, 0.25]
+            ("neg", [0, -1, 1, 2]),     # two transitions touch -1 -> p 0
+            ("big", [0, 1, 99]),        # 99 >= alphabet -> p 0
+        ],
+        "doc_id string, tokens array<long>",
+    )
+    out = (
+        LM.score_docs(docs, model, alphabet=alphabet, rare_threshold=0.1)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["ok", "lm_mean_prob"] == (0.5 + 0.25) / 2
+    assert out.loc["ok", "lm_n_rare"] == 0
+    assert out.loc["neg", "lm_min_prob"] == 0.0
+    assert out.loc["neg", "lm_n_rare"] == 2  # (0,-1) and (-1,1)
+    assert out.loc["big", "lm_min_prob"] == 0.0
+    assert out.loc["big", "lm_mean_prob"] == 0.5 / 2  # (0,1)=0.5, (1,99)=0

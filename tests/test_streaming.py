@@ -493,3 +493,58 @@ def test_streaming_drift_parity(spark, events_dir):
     ).toPandas()
     assert (whole["tv_distance"] == 0.0).all()
     assert (whole["n_cur"] == whole["n_ref"]).all()
+
+
+def test_streaming_zscore_null_values_do_not_corrupt_state(spark, tmp_path):
+    """A NULL value must count for nothing (batch COUNT(value)/DECIMAL
+    sums skip NULLs) and must score NULL itself — np.round(NaN) garbage
+    in the cents state would poison every later row of the entity."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.encode import expanding_zscore
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, "u", T0 + dt.timedelta(seconds=0), 10.0),
+        (1, "u", T0 + dt.timedelta(seconds=10), 20.0),
+        (2, "u", T0 + dt.timedelta(seconds=20), None),   # mid-stream NULL
+        (3, "u", T0 + dt.timedelta(seconds=30), 40.0),
+        (4, "u", T0 + dt.timedelta(seconds=40), 50.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp_ntz) ts", "value"
+    )
+    d = str(tmp_path / "nulls")
+    for i in range(0, 5, 2):  # 3 time-ordered slices -> 3 micro-batches
+        df.where(F.col("event_id").isin(list(range(i, i + 2)))).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    sdf = ST.stream_events(spark, d, df.schema, max_files_per_trigger=1)
+    ST.run_to_memory(ST.streaming_zscore(sdf), "zscore_null_stream", "update")
+    got = (
+        spark.table("zscore_null_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        expanding_zscore(spark.read.parquet(d), by="user_id", ts="ts", value="value")
+        .select(
+            "event_id", "user_id", "z_n_prev", "z_mean_prev", "z_var_prev",
+            "z_score",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # NULL row scored NULL, and later rows ignored it: id 3's history is
+    # {10, 20} (n=2), not 3 rows
+    assert pd.isna(got.loc[2, "z_score"])
+    assert got.loc[3, "z_n_prev"] == 2

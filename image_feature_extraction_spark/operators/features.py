@@ -225,11 +225,16 @@ def per_source_histograms(
     """Per-(source, scale, feature) corpus histogram COUNTS.
 
     Two-stage aggregation: map-side partial histograms per input partition
-    (mapInPandas, no shuffle), then a single small shuffle of
-    (source, scale, feature, counts) rows reduced with a vectorized
-    element-wise sum. The shuffled data is tiny (one counts-array per key
-    per partition), not the cell data — the map-side combine the reference
-    lacks.
+    (mapInPandas, no shuffle), then the partial count-arrays are
+    posexploded to (source, scale, feature, bin) rows and reduced with a
+    plain SUM — which combines MAP-SIDE, so the reducer never sees more
+    than one row per (key, bin) per map partition and never materializes
+    a list. (The previous collect_list+fold formulation buffered one
+    counts-array per map partition per key on the reducer — bounded, but
+    at 400k scan tasks that is 400k * n_bins longs per hot key.) The
+    bin-summed rows — a table bounded by sources x scales x features x
+    bins regardless of corpus size — are reassembled into bin-ordered
+    arrays with a final tiny aggregation.
     """
     if edges is None:
         edges = K.default_edges()
@@ -267,14 +272,19 @@ def per_source_histograms(
                 )
 
     partials = df.mapInPandas(partial, partial_schema)
-    # element-wise sum of count arrays via zip_with on an aggregate
-    return (
-        partials.groupBy("source", "scale_idx", "feature_idx")
-        .agg(
-            F.aggregate(
-                F.collect_list("counts"),
-                F.array([F.lit(0).cast("long")] * n_bins),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("counts")
-        )
+    # posexplode -> SUM per (key, bin): partial aggregation runs map-side,
+    # nothing list-shaped ever reaches a reducer
+    summed = partials.select(
+        "source", "scale_idx", "feature_idx",
+        F.posexplode("counts").alias("bin", "c"),
+    ).groupBy("source", "scale_idx", "feature_idx", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    # reassemble bin-ordered arrays; the input here is <= |sources| *
+    # |scales| * NUM_FEATURES * n_bins rows, so the sort+collect is tiny
+    return summed.groupBy("source", "scale_idx", "feature_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bin", "c"))),
+            lambda s: s["c"],
+        ).alias("counts")
     )

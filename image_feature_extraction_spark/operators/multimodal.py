@@ -84,48 +84,82 @@ def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     return v / 255.0
 
 
+def _image_features_from_array(gray: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from a 2-D grayscale array in [0, 1]: a 4x4
+    block-mean thumbnail — deterministic, resolution-independent, and the
+    same vector the per-frame video path averages."""
+    h, w = gray.shape
+    side = 4
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.empty(FEATURE_DIM, dtype=np.float64)
+    for i in range(side):
+        for j in range(side):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * side + j] = float(block.mean())
+    return out
+
+
 def _real_decode(payload: bytes, modality: str) -> np.ndarray:
-    """The real-codec boundary, stubbed in two explicit layers: a missing
-    library raises naming the dependency; with the library PRESENT the
-    decode body itself is the documented stub (this container ships no
-    media libraries, so the body cannot be exercised here) — the marked
-    raise is where PIL/soundfile/PyAV decoding plugs in. The Spark-side
-    plumbing (schema, batching, payload passthrough) is real and tested
-    via the fake codec."""
+    """The real-codec boundary, import-guarded: a missing library raises
+    NotImplementedError naming the dependency (this container ships no
+    media libraries, so in the sandbox the fake codec is the tested
+    path); with the library PRESENT the payload is actually decoded —
+    image: PIL open -> grayscale -> 4x4 block-mean thumbnail; audio:
+    soundfile read -> mono -> 16-segment RMS envelope; video: PyAV frame
+    iteration (up to 16 frames) -> per-frame thumbnail average. All three
+    return FEATURE_DIM floats, the same schema as the fake path, so
+    swapping codecs changes no plan. Skip-marked tests exercise the real
+    bodies whenever the libraries exist."""
+    import io
+
     if modality == "image":
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
                 "real image decode requires Pillow (not in this container); "
                 "use decode_fn='fake' for plumbing tests"
             ) from e
-        raise NotImplementedError(
-            "image decode stub: wire PIL.Image.open(io.BytesIO(payload)) "
-            "-> resize -> channel stats here"
-        )
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        gray = np.asarray(img, dtype=np.float64) / 255.0
+        return _image_features_from_array(gray)
     if modality == "audio":
         try:
-            import soundfile  # noqa: F401
+            import soundfile
         except ImportError as e:
             raise NotImplementedError(
                 "real audio decode requires soundfile (not in this container)"
             ) from e
-        raise NotImplementedError(
-            "audio decode stub: wire soundfile.read(io.BytesIO(payload)) "
-            "-> spectral stats here"
-        )
+        data, _sr = soundfile.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)  # downmix to mono
+        if data.size == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float64)
+        # 16-segment RMS envelope
+        edges = np.linspace(0, data.size, FEATURE_DIM + 1).astype(int)
+        out = np.empty(FEATURE_DIM, dtype=np.float64)
+        for i in range(FEATURE_DIM):
+            seg = data[edges[i]:max(edges[i + 1], edges[i] + 1)]
+            out[i] = float(np.sqrt(np.mean(seg * seg)))
+        return out
     if modality == "video":
         try:
-            import av  # noqa: F401
+            import av
         except ImportError as e:
             raise NotImplementedError(
                 "real video decode requires PyAV (not in this container)"
             ) from e
-        raise NotImplementedError(
-            "video decode stub: wire av.open -> frame sample -> per-frame "
-            "image path here"
-        )
+        acc = np.zeros(FEATURE_DIM, dtype=np.float64)
+        n = 0
+        with av.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                gray = frame.to_ndarray(format="gray").astype(np.float64) / 255.0
+                acc += _image_features_from_array(gray)
+                n += 1
+                if n >= FEATURE_DIM:
+                    break  # bounded frame sample
+        return acc / n if n else acc
     raise ValueError(f"unknown modality {modality!r}")
 
 

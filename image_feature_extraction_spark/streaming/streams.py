@@ -509,3 +509,193 @@ def streaming_drift(
         events, reference, by=by, ts=ts, value_col=value_col,
         bin_width=bin_width, n_bins=n_bins, window=window,
     )
+
+
+FREQ_STATE_SCHEMA = "n long"
+
+
+def streaming_frequency_encode(
+    events: DataFrame,
+    by=("user_id", "event_type"),
+    ts: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "fe_n_prev",
+) -> DataFrame:
+    """Streaming counterpart of ``operators.encode.frequency_encode``:
+    strictly-earlier same-key occurrence count, scored as events arrive —
+    the serving form of the count encoder ("how often has this user done
+    this before"). State is ONE long per key tuple.
+
+    Parity contract (integer arithmetic — exact by construction): same
+    arrival shape as streaming_zscore (per-entity time-ordered
+    micro-batches); same-timestamp rows score against the same pre-group
+    state and never each other; NULL-ts rows get NULL and count nothing
+    (the batch operator's rule)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    by_l = list(by) if not isinstance(by, str) else [by]
+    out_schema = StructType(
+        [StructField(id_col, events.schema[id_col].dataType)]
+        + [StructField(c, events.schema[c].dataType) for c in by_l]
+        + [StructField(out_col, LongType())]
+    )
+
+    def fn(key_, pdf_iter, state):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
+        tnull = pdf[ts].isna().to_numpy()
+        frames = []
+        for _, grp in pdf.groupby(ts, sort=True, dropna=False):
+            k = len(grp)
+            is_null = bool(tnull[grp.index[0]])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        **{c: [key_[i]] * k for i, c in enumerate(by_l)},
+                        out_col: pd.array(
+                            [None if is_null else n] * k, dtype="Int64"
+                        ),
+                    }
+                )
+            )
+            if not is_null:
+                n += k
+        state.update((n,))
+        yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy(*by_l).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=FREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# completed-bucket totals + the open bucket's partials
+TE_STATE_SCHEMA = "n_prev long, cents_prev long, cur_bk long, cur_n long, cur_cents long"
+
+
+def streaming_target_encode(
+    events: DataFrame,
+    by: str = "event_type",
+    ts: str = "ts",
+    label: str = "value",
+    id_col: str = "event_id",
+    time_bucket: float = 3600.0,
+    m: float | None = None,
+    prior: float | None = None,
+) -> DataFrame:
+    """Streaming counterpart of ``operators.encode.target_encode``:
+    per-category Bayesian-smoothed label mean over strictly-previous
+    COMPLETED time buckets, scored as events arrive — the online form of
+    the target encoder, frozen at bucket granularity exactly like the
+    batch operator (rows never see their own bucket).
+
+    State per category is five longs: completed-bucket count + label
+    cents, plus the OPEN bucket's id and partials; when an event opens a
+    later bucket the open partials fold into the totals. BIT-EXACT parity
+    with the batch operator: label sums are integer cents (the streaming
+    mirror of DECIMAL(38,2) — cents/100.0 and CAST(DECIMAL AS DOUBLE) are
+    both correctly rounded to the same double), and the float
+    post-processing replays the batch expression tree op for op. Arrival
+    contract: per-category bucket-ordered micro-batches (the
+    daily-increment shape); NULL-ts rows get NULL features and count
+    nothing; NULL labels count nothing (COUNT(label) semantics).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from ..operators.encode import TE_PRIOR, TE_SMOOTHING_M
+
+    m = float(TE_SMOOTHING_M if m is None else m)
+    prior = float(TE_PRIOR if prior is None else prior)
+    mp = m * prior
+    bs = float(time_bucket)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, events.schema[id_col].dataType),
+            StructField(by, events.schema[by].dataType),
+            StructField("te_bucket", LongType()),
+            StructField("te_n_prev", LongType()),
+            StructField("te_mean_prev", DoubleType()),
+            StructField("te_enc", DoubleType()),
+        ]
+    )
+
+    def fn(key_, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n_prev, cents_prev, cur_bk, cur_n, cur_cents = state.get
+        else:
+            n_prev, cents_prev, cur_bk, cur_n, cur_cents = 0, 0, None, 0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
+        tnull = pdf[ts].isna().to_numpy()
+        # same epoch arithmetic as the batch operator: micros/1e6 then
+        # floor(e / bucket) — identical IEEE ops, identical buckets
+        tsec = pdf[ts].astype("datetime64[us]").astype(np.int64) / 1e6
+        bks = np.floor(tsec / bs)
+        frames = []
+        for _, grp in pdf.groupby(pd.Series(bks).where(~tnull), sort=True, dropna=False):
+            k = len(grp)
+            if tnull[grp.index[0]]:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            by: [key_[0]] * k,
+                            "te_bucket": pd.array([None] * k, dtype="Int64"),
+                            "te_n_prev": pd.array([None] * k, dtype="Int64"),
+                            "te_mean_prev": [None] * k,
+                            "te_enc": [None] * k,
+                        }
+                    )
+                )
+                continue
+            b = int(bks[grp.index[0]])
+            if cur_bk is not None and b > cur_bk:
+                n_prev += cur_n
+                cents_prev += cur_cents
+                cur_n = cur_cents = 0
+            if cur_bk is None or b > cur_bk:
+                cur_bk = b
+            sumd = float(cents_prev) / 100.0  # == CAST(DECIMAL(38,2) AS DOUBLE)
+            mean = sumd / float(n_prev) if n_prev >= 1 else None
+            enc = (sumd + mp) / (float(n_prev) + m)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: grp[id_col].to_numpy(),
+                        by: [key_[0]] * k,
+                        "te_bucket": np.full(k, b, dtype=np.int64),
+                        "te_n_prev": np.full(k, n_prev, dtype=np.int64),
+                        "te_mean_prev": [mean] * k,
+                        "te_enc": [enc] * k,
+                    }
+                )
+            )
+            vals = grp[label].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(vals)
+            cur_cents += int(np.round(vals[ok] * 100.0).astype(np.int64).sum())
+            cur_n += int(ok.sum())
+        state.update(
+            (n_prev, cents_prev, -1 if cur_bk is None else cur_bk, cur_n, cur_cents)
+        )
+        yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=TE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -525,3 +525,143 @@ def test_bucketed_matches_perrow_on_singleton_buckets(spark, zs_rows):
     pd.testing.assert_frame_equal(
         per_row[cols], bucketed[cols], check_dtype=False
     )
+
+
+# -- randomized property fuzz (seeded) vs pure-pandas replay ------------------
+
+
+def _random_events(seed, n=400):
+    """Random event table exercising the hard shapes at once: duplicate
+    timestamps, NULL timestamps, NULL values, NULL entities, negative
+    times, singleton entities."""
+    rng = np.random.default_rng(seed)
+    ents = np.array(["a", "b", "c", "d", None, "singleton"], dtype=object)
+    rows = []
+    for i in range(n):
+        ent = ents[rng.integers(0, 5)] if i != 0 else "singleton"
+        # coarse grid -> plenty of exact duplicate timestamps
+        t = None if rng.random() < 0.05 else _ts(int(rng.integers(-50, 300)) * 10)
+        v = None if rng.random() < 0.07 else round(float(rng.normal(50, 20)), 2)
+        rows.append((i, ent, t, v))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [3, 77, 2024])
+def test_expanding_zscore_fuzz_vs_replay(spark, seed):
+    rows = _random_events(seed)
+    out = (
+        EN.expanding_zscore(_frame(spark, rows), by="ent", ts="ts", value="value")
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    for _, r in rdf.iterrows():
+        got = out.loc[r.id]
+        if pd.isna(r.ts):
+            assert got[["z_n_prev", "z_mean_prev", "z_var_prev", "z_score"]].isna().all()
+            continue
+        past = rdf[
+            (rdf.ent.isna() if pd.isna(r.ent) else (rdf.ent == r.ent))
+            & rdf.ts.notna() & (rdf.ts < r.ts) & rdf.value.notna()
+        ].value.to_numpy(dtype=np.float64)
+        assert got.z_n_prev == len(past)
+        if len(past) >= 1:
+            assert np.isclose(got.z_mean_prev, past.mean())
+        else:
+            assert pd.isna(got.z_mean_prev)
+        if len(past) >= 2 and past.var() > 1e-12:
+            assert np.isclose(got.z_var_prev, past.var())
+            if not pd.isna(r.value):
+                assert np.isclose(
+                    got.z_score, (r.value - past.mean()) / np.sqrt(past.var())
+                )
+
+
+@pytest.mark.parametrize("seed", [3, 77, 2024])
+def test_target_encode_fuzz_vs_replay(spark, seed):
+    B = 300.0
+    rows = _random_events(seed)
+    out = (
+        EN.target_encode(
+            _frame(spark, rows), by="ent", ts="ts", label="value", time_bucket=B
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    m, prior = EN.TE_SMOOTHING_M, EN.TE_PRIOR
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    epoch = (rdf.ts - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    rdf["bucket"] = np.floor(epoch / B)  # operator buckets ABSOLUTE epoch
+    for _, r in rdf.iterrows():
+        got = out.loc[r.id]
+        if pd.isna(r.ts):
+            assert got[["te_n_prev", "te_mean_prev", "te_enc"]].isna().all()
+            continue
+        past = rdf[
+            (rdf.ent.isna() if pd.isna(r.ent) else (rdf.ent == r.ent))
+            & rdf.bucket.notna() & (rdf.bucket < r.bucket) & rdf.value.notna()
+        ].value.to_numpy(dtype=np.float64)
+        assert got.te_n_prev == len(past)
+        assert np.isclose(got.te_enc, (past.sum() + m * prior) / (len(past) + m))
+        if len(past) >= 1:
+            assert np.isclose(got.te_mean_prev, past.mean())
+        else:
+            assert pd.isna(got.te_mean_prev)
+
+
+@pytest.mark.parametrize("seed", [3, 77, 2024])
+def test_decayed_features_fuzz_vs_replay(spark, seed):
+    B = 500.0
+    rows = _random_events(seed, n=250)
+    out = (
+        EN.decayed_features(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=B,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    H = EN.DECAY_HORIZON
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    epoch = (rdf.ts - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    rdf["bk"] = np.floor(epoch / B)  # operator buckets ABSOLUTE epoch
+    for _, r in rdf.iterrows():
+        got = out.loc[r.id]
+        if pd.isna(r.ts):
+            assert pd.isna(got.decay_sum) and pd.isna(got.decay_cnt)
+            continue
+        same = rdf[
+            (rdf.ent.isna() if pd.isna(r.ent) else (rdf.ent == r.ent))
+            & rdf.ts.notna() & (rdf.ts < r.ts) & rdf.value.notna()
+        ]
+        age = (r.bk - same.bk).to_numpy()
+        w = np.where(age < H, 0.5 ** age, 0.0)
+        cents = np.round(same.value.to_numpy(dtype=np.float64) * 100.0)
+        # replay in dyadic space -> comparison can be exact
+        assert got.decay_sum == float(np.sum(cents * w)) / 100.0
+        assert got.decay_cnt == float(np.sum(w))
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_frequency_encode_fuzz_vs_replay(spark, seed):
+    rows = _random_events(seed, n=300)
+    out = (
+        EN.frequency_encode(_frame(spark, rows), by="ent", ts="ts")
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    for _, r in rdf.iterrows():
+        got = out.loc[r.id, "fe_n_prev"]
+        if pd.isna(r.ts):
+            assert pd.isna(got)
+            continue
+        past = rdf[
+            (rdf.ent.isna() if pd.isna(r.ent) else (rdf.ent == r.ent))
+            & rdf.ts.notna() & (rdf.ts < r.ts)
+        ]
+        assert got == len(past)

@@ -548,3 +548,97 @@ def test_streaming_zscore_null_values_do_not_corrupt_state(spark, tmp_path):
     # {10, 20} (n=2), not 3 rows
     assert pd.isna(got.loc[2, "z_score"])
     assert got.loc[3, "z_n_prev"] == 2
+
+
+@pytest.fixture(scope="module")
+def ordered_slices_dir(spark, tmp_path_factory):
+    """sf0.001 events written as 3 contiguous time slices with ascending
+    mtimes — per-entity time-ordered arrival across micro-batches."""
+    import time as _time
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path_factory.mktemp("ordered_slices"))
+    bounds = events.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), array(0.33, 0.66))"
+    ).collect()[0][0]
+    e = F.col("ts").cast("timestamp").cast("double")
+    for part in (
+        events.where(e <= bounds[0]),
+        events.where((e > bounds[0]) & (e <= bounds[1])),
+        events.where(e > bounds[1]),
+    ):
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    return d
+
+
+def test_streaming_frequency_encode_parity(spark, ordered_slices_dir):
+    """streaming_frequency_encode == batch frequency_encode exactly
+    (integer arithmetic), across micro-batch boundaries."""
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.encode import frequency_encode
+
+    d = ordered_slices_dir
+    schema = spark.read.parquet(d).schema
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        ST.streaming_frequency_encode(sdf, by=("user_id", "event_type")),
+        "freq_stream", "update",
+    )
+    got = (
+        spark.table("freq_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        frequency_encode(
+            spark.read.parquet(d), by=["user_id", "event_type"], ts="ts"
+        )
+        .select("event_id", "user_id", "event_type", "fe_n_prev")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.event_id.nunique() == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_target_encode_parity(spark, ordered_slices_dir):
+    """streaming_target_encode == batch target_encode BIT-EXACTLY across
+    micro-batches (integer-cents state mirrors the DECIMAL sums; float
+    post-processing replays the batch expression tree)."""
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.encode import target_encode
+
+    d = ordered_slices_dir
+    schema = spark.read.parquet(d).schema
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        ST.streaming_target_encode(
+            sdf, by="event_type", ts="ts", label="value", time_bucket=3600.0
+        ),
+        "te_stream", "update",
+    )
+    got = (
+        spark.table("te_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        target_encode(
+            spark.read.parquet(d).select("event_id", "event_type", "ts", "value"),
+            by="event_type", ts="ts", label="value", time_bucket=3600.0,
+        )
+        .select(
+            "event_id", "event_type", "te_bucket", "te_n_prev", "te_mean_prev",
+            "te_enc",
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact

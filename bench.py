@@ -206,28 +206,29 @@ def main() -> None:
         "q_flagship_parity",    # contract demo (runs the flagship twice)
     }
     # Steady state per query: one UNTIMED warm-up execution (plan +
-    # codegen compile + python-worker setup; BENCH_r03 showed best-of-2
-    # alone does NOT absorb the ~20 s C2-JIT window on the large
-    # generated md5-chain aggregates — both timed reps landed inside it
-    # and q_dedup_minhash reported 8.5 s vs its 1.2 s steady state),
-    # then best-of-2 timed reps. When the timed reps still disagree by
-    # >2.5x the query is still inside a one-time cost window — one extra
-    # rep resolves steady state without tripling the suite for the
-    # stable majority.
+    # codegen compile + python-worker setup), then timed reps that
+    # ESCALATE while the times are still descending. Best-of-2 alone
+    # demonstrably does not absorb the ~20 s C2-JIT window on the large
+    # generated md5-chain aggregates (BENCH_r03: q_dedup_minhash 8.5 s
+    # vs 1.2 s isolated), and in a full-suite run even warm-up + 2 reps
+    # can land inside it — C2 compiler threads are shared across the
+    # suite's queries, so the window stretches (measured this round:
+    # 5.6 s in-suite vs 10, 2.0, 2.4 s isolated). A rep that runs <70%
+    # of the previous best means one-time costs were still releasing —
+    # keep going (cap 5 reps); the stable majority still pays exactly
+    # warm-up + 2.
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
         try:
             _materialize(fn(spark, sf_dir))  # warm-up, not counted
             reps = []
-            for _ in range(2):
+            for _ in range(5):
                 t0 = time.time()
                 _materialize(fn(spark, sf_dir))
                 reps.append(time.time() - t0)
-            if max(reps) / max(min(reps), 1e-9) > 2.5:
-                t0 = time.time()
-                _materialize(fn(spark, sf_dir))
-                reps.append(time.time() - t0)
+                if len(reps) >= 2 and reps[-1] > 0.7 * min(reps[:-1]):
+                    break  # plateau: last rep no longer materially faster
             timings[name] = round(min(reps), 3)
         except Exception as e:  # a failing query must not kill the bench
             timings[name] = -1.0

@@ -205,11 +205,21 @@ def expanding_robust_stats(
         f"PARTITION BY {', '.join(by_l)} ORDER BY _epoch ASC NULLS FIRST, {id_col} "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     )
+    # NULL timestamps (the family rule, see expanding_zscore): unknown
+    # event time may be future data — contributes nothing to any frame,
+    # own features NULL.
+    val = f"CASE WHEN _epoch IS NOT NULL THEN {value} END"
     d = (
-        d.withColumn(f"{p}_n_prev", F.expr(f"COUNT({value}) OVER ({frame})"))
-        .withColumn("_q1", F.expr(f"percentile({value}, 0.25) OVER ({frame})"))
-        .withColumn("_med", F.expr(f"percentile({value}, 0.5) OVER ({frame})"))
-        .withColumn("_q3", F.expr(f"percentile({value}, 0.75) OVER ({frame})"))
+        d.withColumn(
+            f"{p}_n_prev",
+            F.when(
+                F.col("_epoch").isNotNull(),
+                F.expr(f"COUNT({val}) OVER ({frame})"),
+            ),
+        )
+        .withColumn("_q1", F.expr(f"percentile({val}, 0.25) OVER ({frame})"))
+        .withColumn("_med", F.expr(f"percentile({val}, 0.5) OVER ({frame})"))
+        .withColumn("_q3", F.expr(f"percentile({val}, 0.75) OVER ({frame})"))
     )
     ok = F.col(f"{p}_n_prev") >= int(min_history)
     iqr = F.col("_q3") - F.col("_q1")

@@ -2500,9 +2500,12 @@ def q_robust_outlier(spark, sf_dir):
 
 
 _RB_FRAME = (
-    "PARTITION BY user_id ORDER BY epoch(ts) ASC NULLS FIRST, event_id "
+    "PARTITION BY user_id ORDER BY e ASC NULLS FIRST, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
 )
+# NULL-ts rows contribute nothing to any frame and get NULL features
+# (the encoder-family leakage rule, mirrored from the operator)
+_RB_VAL = "CASE WHEN e IS NOT NULL THEN value END"
 
 _register(
     "q_robust_outlier",
@@ -2510,11 +2513,12 @@ _register(
     f"""
     WITH w AS (
       SELECT event_id, user_id, value,
-             COUNT(value) OVER ({_RB_FRAME}) AS rb_n_prev,
-             quantile_cont(value, 0.25) OVER ({_RB_FRAME}) AS q1,
-             quantile_cont(value, 0.5)  OVER ({_RB_FRAME}) AS med,
-             quantile_cont(value, 0.75) OVER ({_RB_FRAME}) AS q3
-      FROM events
+             CASE WHEN e IS NOT NULL
+                  THEN COUNT({_RB_VAL}) OVER ({_RB_FRAME}) END AS rb_n_prev,
+             quantile_cont({_RB_VAL}, 0.25) OVER ({_RB_FRAME}) AS q1,
+             quantile_cont({_RB_VAL}, 0.5)  OVER ({_RB_FRAME}) AS med,
+             quantile_cont({_RB_VAL}, 0.75) OVER ({_RB_FRAME}) AS q3
+      FROM (SELECT event_id, user_id, value, epoch(ts) AS e FROM events)
     )
     SELECT event_id, user_id, rb_n_prev,
            CASE WHEN rb_n_prev >= 4 THEN med END AS rb_median_prev,

@@ -665,3 +665,30 @@ def test_frequency_encode_fuzz_vs_replay(spark, seed):
             & rdf.ts.notna() & (rdf.ts < r.ts)
         ]
         assert got == len(past)
+
+
+def test_expanding_robust_stats_null_ts_contributes_nothing(spark):
+    rows = _null_ts_rows() + [(4, "a", _ts(30), 40.0), (5, "a", _ts(40), 35.0)]
+    out = (
+        EN.expanding_robust_stats(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            id_col="id", min_history=2,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    clean = (
+        EN.expanding_robust_stats(
+            _frame(spark, [r for r in rows if r[2] is not None]),
+            by="ent", ts="ts", value="value", id_col="id", min_history=2,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    cols = ["rb_n_prev", "rb_median_prev", "rb_iqr_prev", "rb_is_outlier"]
+    pd.testing.assert_frame_equal(
+        out.loc[[0, 1, 3, 4, 5], cols], clean[cols], check_dtype=False
+    )
+    assert out.loc[2, cols].isna().all()

@@ -696,8 +696,10 @@ def winsorize(
     shuffles (a partition-window formulation would exchange every
     column). The reducer that computes a group's percentile buffers
     that group's values; for near-degenerate grouping (one group owning
-    ~all of 10^12 rows) use operators/quantiles' distributed rank
-    selection instead — documented, same interpolation.
+    ~all of 10^12 rows) use ``winsorize_global``, which selects the
+    same interpolated quantiles via quantiles.global_interpolated_
+    quantiles without any single-task buffer (bit-identical bounds,
+    tested).
 
     Cross-engine exactness: same percentile/quantile_cont bit-parity
     contract as expanding_robust_stats (lo + (hi-lo)*frac at p*(n-1),
@@ -722,4 +724,38 @@ def winsorize(
     return d.withColumn(f"{p}_value", clipped).withColumn(
         f"{p}_clipped",
         F.when(ok, (v < F.col(f"{p}_lo")) | (v > F.col(f"{p}_hi"))),
+    )
+
+
+def winsorize_global(
+    df: DataFrame,
+    value: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_prefix: str = "wz",
+) -> DataFrame:
+    """``winsorize`` for the DEGENERATE grouping (one population owning
+    ~all rows, where a per-group percentile reducer would buffer the
+    world): the two interpolated quantiles come from
+    quantiles.global_interpolated_quantiles — one balanced range
+    exchange of the value column + two boundary-rank extractions,
+    nothing group-sized in any task — and clamp as driver-side
+    LITERALS, so the wide table pays zero shuffle and zero join.
+    Bit-identical bounds to percentile/quantile_cont (tested); same
+    NULL pass-through contract as winsorize."""
+    from .quantiles import global_interpolated_quantiles
+
+    p = out_prefix
+    lo, hi = global_interpolated_quantiles(df, value, [float(p_lo), float(p_hi)])
+    v = F.col(value).cast("double")
+    if lo is None:  # empty population: everything passes through
+        return df.withColumn(f"{p}_value", v).withColumn(
+            f"{p}_clipped", F.lit(None).cast("boolean")
+        )
+    ok = v.isNotNull()
+    clipped = F.when(
+        ok, F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+    ).otherwise(v)
+    return df.withColumn(f"{p}_value", clipped).withColumn(
+        f"{p}_clipped", F.when(ok, (v < F.lit(lo)) | (v > F.lit(hi)))
     )

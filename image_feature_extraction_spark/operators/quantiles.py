@@ -78,3 +78,107 @@ def exact_quantile_values(
     # needing every j should ensure n >= n_bins (the reference throws
     # otherwise, DetermineEdgesForEqualizedHistogram.h:36-38).
     return out
+
+
+def global_interpolated_quantiles(
+    df: DataFrame,
+    value: str,
+    ps,
+    num_partitions: int | None = None,
+) -> list:
+    """Exact INTERPOLATED quantiles (lo + (hi - lo) * frac at index
+    p * (n - 1) — the percentile/quantile_cont contract the encoder
+    family relies on) of one global population, computed WITHOUT ever
+    buffering that population in a single task.
+
+    This is the degenerate-grouping escape hatch that
+    ``encode.winsorize``'s docstring routes to: ``groupBy().agg(
+    percentile)`` buffers a whole group's values in one reducer, which
+    breaks when one group owns ~all of 10^12 rows. Here the data pays
+    ONE balanced range exchange (repartitionByRange on the value) +
+    per-partition sorts; the only driver traffic is a P-row partition
+    count and the <= 2*len(ps) boundary order statistics. The ranged
+    column is persisted so the count pass and the extraction pass see
+    the IDENTICAL partitioning (range-boundary sampling re-runs per
+    action otherwise) — a one-column cache that spills to disk at
+    scale, the standard two-job exact-selection tradeoff.
+
+    NULL values are excluded (both engines' percentile rule); NaN sorts
+    greatest (top ranks) in both engines — filter upstream if present.
+    Returns floats (None when the population is empty) aligned with
+    ``ps``.
+    """
+    import math
+
+    sc = df.sparkSession.sparkContext
+    P = int(num_partitions or sc.defaultParallelism)
+    d = (
+        df.select(F.col(value).cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .repartitionByRange(P, F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            int(r["_pid"]): int(r["count"])
+            for r in d.groupBy("_pid").count().collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return [None for _ in ps]
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        # global 0-based order statistics needed: floor/ceil of p*(n-1)
+        needed = set()
+        for p_ in ps:
+            pos = float(p_) * (n - 1)
+            needed.add(int(math.floor(pos)))
+            needed.add(min(int(math.ceil(pos)), n - 1))
+        # per-partition (sorted) local indices to pull
+        by_pid: dict[int, list[int]] = {}
+        for g in sorted(needed):
+            for pid in sorted(counts):
+                if offsets[pid] <= g < offsets[pid] + counts[pid]:
+                    by_pid.setdefault(pid, []).append(g - offsets[pid])
+                    break
+
+        def extract(batches):
+            import pandas as pd
+
+            seen = 0
+            want: list[int] | None = None
+            off = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if want is None:
+                    pid = int(pdf["_pid"].iloc[0])
+                    want = by_pid.get(pid, [])
+                    off = offsets.get(pid, 0)
+                out_g, out_v = [], []
+                while want and want[0] < seen + len(pdf):
+                    li = want.pop(0)
+                    out_g.append(off + li)           # GLOBAL index
+                    out_v.append(float(pdf["_v"].iloc[li - seen]))
+                if out_g:
+                    yield pd.DataFrame({"_g": out_g, "_v": out_v})
+                seen += len(pdf)
+
+        vals_at = {
+            int(r["_g"]): float(r["_v"])
+            for r in d.mapInPandas(extract, "_g long, _v double").collect()
+        }
+        out = []
+        for p_ in ps:
+            pos = float(p_) * (n - 1)
+            i0 = int(math.floor(pos))
+            i1 = min(int(math.ceil(pos)), n - 1)
+            lo, hi = vals_at[i0], vals_at[i1]
+            out.append(lo + (hi - lo) * (pos - i0))
+        return out
+    finally:
+        d.unpersist()

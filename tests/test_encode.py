@@ -692,3 +692,29 @@ def test_expanding_robust_stats_null_ts_contributes_nothing(spark):
         out.loc[[0, 1, 3, 4, 5], cols], clean[cols], check_dtype=False
     )
     assert out.loc[2, cols].isna().all()
+
+
+def test_winsorize_global_matches_grouped(spark):
+    """winsorize_global (distributed rank selection, zero single-task
+    buffer) == winsorize with one group, bit for bit."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(3000),
+            "g": ["all"] * 3000,
+            "value": np.round(rng.normal(100, 30, 3000), 2),
+        }
+    )
+    pdf.loc[5, "value"] = None
+    df = spark.createDataFrame(pdf).repartition(16)
+    a = (
+        EN.winsorize(df, by="g", value="value")
+        .select("event_id", "wz_value", "wz_clipped")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        EN.winsorize_global(df, value="value")
+        .select("event_id", "wz_value", "wz_clipped")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # exact

@@ -324,7 +324,13 @@ def emphysema_features_fg(
     need the full cube, but the pointwise eigen stage — the most
     expensive — runs only on the (rows, cols) flat-index selection.
     Returns (len(rows), 8) in FEATURE_NAMES order, bit-identical to
-    gathering emphysema_features(...) at the same cells."""
+    gathering emphysema_features(...) at the same cells.
+
+    REFERENCE IMPLEMENTATION for batch_feature_vectors' fused loop
+    (which inlines these stages to bin each column without this
+    function's (n_fg, 8) materialization): the fused path is pinned
+    bit-identical to this one by tests/test_kernels.py's fusion parity
+    test — edit both together."""
     cert = np.asarray(cert)
     if cert.dtype not in (np.float32, np.float64):
         cert = cert.astype(np.float64)

@@ -749,13 +749,22 @@ def winsorize_global(
     lo, hi = global_interpolated_quantiles(df, value, [float(p_lo), float(p_hi)])
     v = F.col(value).cast("double")
     if lo is None:  # empty population: everything passes through
-        return df.withColumn(f"{p}_value", v).withColumn(
-            f"{p}_clipped", F.lit(None).cast("boolean")
+        return (
+            df.withColumn(f"{p}_lo", F.lit(None).cast("double"))
+            .withColumn(f"{p}_hi", F.lit(None).cast("double"))
+            .withColumn(f"{p}_value", v)
+            .withColumn(f"{p}_clipped", F.lit(None).cast("boolean"))
         )
     ok = v.isNotNull()
     clipped = F.when(
         ok, F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
     ).otherwise(v)
-    return df.withColumn(f"{p}_value", clipped).withColumn(
-        f"{p}_clipped", F.when(ok, (v < F.lit(lo)) | (v > F.lit(hi)))
+    # same output contract as winsorize (drop-in for the one-group case)
+    return (
+        df.withColumn(f"{p}_lo", F.lit(lo))
+        .withColumn(f"{p}_hi", F.lit(hi))
+        .withColumn(f"{p}_value", clipped)
+        .withColumn(
+            f"{p}_clipped", F.when(ok, (v < F.lit(lo)) | (v > F.lit(hi)))
+        )
     )

@@ -166,11 +166,16 @@ def global_interpolated_quantiles(
                     out_v.append(float(pdf["_v"].iloc[li - seen]))
                 if out_g:
                     yield pd.DataFrame({"_g": out_g, "_v": out_v})
+                if not want:
+                    return  # this partition's wanted ranks are done
                 seen += len(pdf)
 
+        # prune partitions that hold no wanted rank JVM-side, so only
+        # <= 2*len(ps) of the P cached partitions ever cross into Python
+        targeted = d.where(F.col("_pid").isin([int(p) for p in by_pid]))
         vals_at = {
             int(r["_g"]): float(r["_v"])
-            for r in d.mapInPandas(extract, "_g long, _v double").collect()
+            for r in targeted.mapInPandas(extract, "_g long, _v double").collect()
         }
         out = []
         for p_ in ps:

@@ -260,12 +260,29 @@ def streaming_zscore(
         n, s_c, ss_c = state.get if state.exists else (0, 0, 0)
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values([ts, id_col], kind="stable").reset_index(drop=True)
+        tnull = pdf[ts].isna().to_numpy()
         frames = []
-        for _, grp in pdf.groupby(ts, sort=True):
+        for _, grp in pdf.groupby(ts, sort=True, dropna=False):
+            k = len(grp)
+            if tnull[grp.index[0]]:
+                # NULL-ts rows: NULL features, no history contribution
+                # (the batch operator's family rule)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            key: [key_[0]] * k,
+                            "z_n_prev": pd.array([None] * k, dtype="Int64"),
+                            "z_mean_prev": [None] * k,
+                            "z_var_prev": [None] * k,
+                            "z_score": [None] * k,
+                        }
+                    )
+                )
+                continue
             # Whole same-ts group scores against the pre-group state, so
             # mean/var are group constants and the scores vectorize.
             mean = var = None
-            k = len(grp)
             if n >= 1:
                 mean = (float(s_c) / 100.0) / float(n)
             if n >= 2:
@@ -580,6 +597,12 @@ def streaming_frequency_encode(
 # completed-bucket totals + the open bucket's partials
 TE_STATE_SCHEMA = "n_prev long, cents_prev long, cur_bk long, cur_n long, cur_cents long"
 
+# "no open bucket yet" sentinel for the persisted cur_bk long: buckets are
+# floor(epoch/width) with width >= 1 s, so |bucket| < 2^40 for any
+# representable timestamp — -2^62 is unreachable by real data (a plain -1
+# would collide with pre-1970 epochs, which the fuzz suite exercises).
+TE_NO_BUCKET = -(1 << 62)
+
 
 def streaming_target_encode(
     events: DataFrame,
@@ -635,6 +658,8 @@ def streaming_target_encode(
 
         if state.exists:
             n_prev, cents_prev, cur_bk, cur_n, cur_cents = state.get
+            if cur_bk == TE_NO_BUCKET:
+                cur_bk = None
         else:
             n_prev, cents_prev, cur_bk, cur_n, cur_cents = 0, 0, None, 0, 0
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
@@ -688,7 +713,13 @@ def streaming_target_encode(
             cur_cents += int(np.round(vals[ok] * 100.0).astype(np.int64).sum())
             cur_n += int(ok.sum())
         state.update(
-            (n_prev, cents_prev, -1 if cur_bk is None else cur_bk, cur_n, cur_cents)
+            (
+                n_prev,
+                cents_prev,
+                TE_NO_BUCKET if cur_bk is None else cur_bk,
+                cur_n,
+                cur_cents,
+            )
         )
         yield pd.concat(frames, ignore_index=True)
 

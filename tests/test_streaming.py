@@ -642,3 +642,102 @@ def test_streaming_target_encode_parity(spark, ordered_slices_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact
+
+
+def test_streaming_twins_null_ts_parity(spark, tmp_path):
+    """NULL-timestamp rows must flow through every streaming encoder twin
+    with NULL features and zero state contribution — exactly the batch
+    family rule. Covers zscore, frequency, and target encode with NaT
+    rows present in BOTH micro-batches (the range-sliced fixtures can
+    never exercise this: a NULL ts fails every range predicate)."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators import encode as EN
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # slice 1
+        (0, "u", "click", t(0), 10.0),
+        (1, "u", "click", None, 1e6),     # NULL ts, poisoned value
+        (2, "u", "click", t(3700), 30.0),
+        # slice 2
+        (3, "u", "click", t(7300), 50.0),
+        (4, "u", "click", None, None),    # NULL ts AND NULL value
+        (5, "u", "click", t(11000), 20.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    d = str(tmp_path / "null_ts_slices")
+    for lo, hi in ((0, 3), (3, 6)):
+        df.where(F.col("event_id").isin(list(range(lo, hi)))).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = df.schema
+    batch = spark.read.parquet(d)
+
+    def drain(stream_df, name):
+        ST.run_to_memory(stream_df, name, "update")
+        return (
+            spark.table(name).toPandas().sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(ST.streaming_zscore(sdf), "nullts_zs")
+    want = (
+        EN.expanding_zscore(batch, by="user_id", ts="ts", value="value")
+        .select("event_id", "user_id", "z_n_prev", "z_mean_prev",
+                "z_var_prev", "z_score")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == 6  # NULL-ts rows are present, not dropped
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert pd.isna(got.loc[1, "z_score"]) and pd.isna(got.loc[4, "z_n_prev"])
+    # the 1e6 never reached state: id 3's history is {10, 30}
+    assert got.loc[3, "z_n_prev"] == 2
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_frequency_encode(sdf, by=("user_id", "event_type")),
+        "nullts_fe",
+    )
+    want = (
+        EN.frequency_encode(batch, by=["user_id", "event_type"], ts="ts")
+        .select("event_id", "user_id", "event_type", "fe_n_prev")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert pd.isna(got.loc[1, "fe_n_prev"])
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_target_encode(
+            sdf, by="event_type", ts="ts", label="value", time_bucket=3600.0
+        ),
+        "nullts_te",
+    )
+    want = (
+        EN.target_encode(
+            batch.select("event_id", "event_type", "ts", "value"),
+            by="event_type", ts="ts", label="value", time_bucket=3600.0,
+        )
+        .select("event_id", "event_type", "te_bucket", "te_n_prev",
+                "te_mean_prev", "te_enc")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert pd.isna(got.loc[4, "te_enc"])

@@ -741,3 +741,124 @@ def test_streaming_twins_null_ts_parity(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert pd.isna(got.loc[4, "te_enc"])
+
+
+@pytest.mark.parametrize("seed", [13, 4242])
+def test_streaming_twins_fuzz_vs_batch(spark, tmp_path, seed):
+    """Randomized ordered-arrival fuzz: all four encoder twins == their
+    batch operators on a random event table with NULL ts/values,
+    duplicate timestamps, and multiple entities, split into 3
+    time-ordered micro-batches (NULL-ts rows salted into every slice)."""
+    import datetime as dt
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators import encode as EN
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    T0 = dt.datetime(2024, 1, 1)
+    ents = rng.choice(["a", "b", "c", "d"], n)
+    # coarse grid -> duplicate timestamps; 5% NULL ts; 7% NULL values
+    secs = rng.integers(0, 30 * 86400, n) // 3600 * 3600
+    tsn = rng.random(n) < 0.05
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": ents,
+            "event_type": rng.choice(["click", "purchase"], n),
+            "ts": [None if m else T0 + dt.timedelta(seconds=int(s))
+                   for m, s in zip(tsn, secs)],
+            "value": [None if rng.random() < 0.07
+                      else round(float(rng.normal(50, 20)), 2)
+                      for _ in range(n)],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    # 3 contiguous time slices; NULL-ts rows spread by event_id mod 3 so
+    # every micro-batch contains some
+    e = F.col("ts").cast("timestamp").cast("double")
+    b1, b2 = 10 * 86400, 20 * 86400
+    slices = [
+        (e <= b1) | (e.isNull() & (F.col("event_id") % 3 == 0)),
+        ((e > b1) & (e <= b2)) | (e.isNull() & (F.col("event_id") % 3 == 1)),
+        (e > b2) | (e.isNull() & (F.col("event_id") % 3 == 2)),
+    ]
+    d = str(tmp_path / f"fuzz{seed}")
+    for cond in slices:
+        df.where(cond).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = df.schema
+    batch = spark.read.parquet(d)
+
+    def drain(stream_df, name):
+        ST.run_to_memory(stream_df, name, "update")
+        return (
+            spark.table(name).toPandas().sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    def batch_pdf(bdf, cols):
+        return (
+            bdf.select(*cols).toPandas().sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(ST.streaming_zscore(sdf), f"fz_zs{seed}")
+    want = batch_pdf(
+        EN.expanding_zscore(batch, by="user_id", ts="ts", value="value"),
+        ["event_id", "user_id", "z_n_prev", "z_mean_prev", "z_var_prev",
+         "z_score"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_frequency_encode(sdf, by=("user_id", "event_type")),
+        f"fz_fe{seed}",
+    )
+    want = batch_pdf(
+        EN.frequency_encode(batch, by=["user_id", "event_type"], ts="ts"),
+        ["event_id", "user_id", "event_type", "fe_n_prev"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_target_encode(
+            sdf, by="event_type", ts="ts", label="value", time_bucket=21600.0
+        ),
+        f"fz_te{seed}",
+    )
+    want = batch_pdf(
+        EN.target_encode(
+            batch.select("event_id", "event_type", "ts", "value"),
+            by="event_type", ts="ts", label="value", time_bucket=21600.0,
+        ),
+        ["event_id", "event_type", "te_bucket", "te_n_prev", "te_mean_prev",
+         "te_enc"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_decayed(
+            sdf, key="user_id", bucket_seconds=21600.0
+        ),
+        f"fz_dc{seed}",
+    )
+    want = batch_pdf(
+        EN.decayed_features(
+            batch.select("event_id", "user_id", "ts", "value"),
+            by="user_id", ts="ts", value="value", bucket_seconds=21600.0,
+        ),
+        ["event_id", "user_id", "decay_sum", "decay_cnt"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact

@@ -121,28 +121,24 @@ def expanding_zscore(
     # DECIMAL(18,2)^2 -> exact 4-decimal squares; SUM widens to (38,4).
     sq = f"CAST({dec} * {dec} AS DECIMAL(38,4))"
     valid = F.col("_epoch").isNotNull()
-    d = (
-        d.withColumn(
-            f"{p}_n_prev",
-            F.when(
-                valid,
-                F.expr(f"COUNT({val}) OVER ({incl}) - COUNT({val}) OVER ({peer})"),
-            ),
-        )
-        .withColumn(
-            "_sum_prev",
-            F.expr(
-                f"CAST(COALESCE(SUM({dec}) OVER ({incl}), 0) AS DECIMAL(38,2))"
-                f" - CAST(COALESCE(SUM({dec}) OVER ({peer}), 0) AS DECIMAL(38,2))"
-            ),
-        )
-        .withColumn(
-            "_sumsq_prev",
-            F.expr(
-                f"CAST(COALESCE(SUM({sq}) OVER ({incl}), 0) AS DECIMAL(38,4))"
-                f" - CAST(COALESCE(SUM({sq}) OVER ({peer}), 0) AS DECIMAL(38,4))"
-            ),
-        )
+    # ALL windowed expressions in ONE projection: chained withColumn
+    # interleaves Projects that defeat CollapseWindow (measured: 3
+    # Window operators, i.e. 3 buffer passes, vs 1 here — plan pinned
+    # by the single-Window regression test).
+    d = d.select(
+        "*",
+        F.when(
+            valid,
+            F.expr(f"COUNT({val}) OVER ({incl}) - COUNT({val}) OVER ({peer})"),
+        ).alias(f"{p}_n_prev"),
+        F.expr(
+            f"CAST(COALESCE(SUM({dec}) OVER ({incl}), 0) AS DECIMAL(38,2))"
+            f" - CAST(COALESCE(SUM({dec}) OVER ({peer}), 0) AS DECIMAL(38,2))"
+        ).alias("_sum_prev"),
+        F.expr(
+            f"CAST(COALESCE(SUM({sq}) OVER ({incl}), 0) AS DECIMAL(38,4))"
+            f" - CAST(COALESCE(SUM({sq}) OVER ({peer}), 0) AS DECIMAL(38,4))"
+        ).alias("_sumsq_prev"),
     )
     n = F.col(f"{p}_n_prev").cast("double")
     mean = F.col("_sum_prev").cast("double") / n
@@ -209,17 +205,20 @@ def expanding_robust_stats(
     # event time may be future data — contributes nothing to any frame,
     # own features NULL.
     val = f"CASE WHEN _epoch IS NOT NULL THEN {value} END"
-    d = (
-        d.withColumn(
-            f"{p}_n_prev",
-            F.when(
-                F.col("_epoch").isNotNull(),
-                F.expr(f"COUNT({val}) OVER ({frame})"),
-            ),
-        )
-        .withColumn("_q1", F.expr(f"percentile({val}, 0.25) OVER ({frame})"))
-        .withColumn("_med", F.expr(f"percentile({val}, 0.5) OVER ({frame})"))
-        .withColumn("_q3", F.expr(f"percentile({val}, 0.75) OVER ({frame})"))
+    # ALL windowed expressions in ONE projection: chained withColumn
+    # puts a Project between each Window and defeats CollapseWindow —
+    # measured 4 Window operators (4 buffer passes per partition) vs 1
+    # here; the select form is the single-Window plan the regression
+    # test pins.
+    d = d.select(
+        "*",
+        F.when(
+            F.col("_epoch").isNotNull(),
+            F.expr(f"COUNT({val}) OVER ({frame})"),
+        ).alias(f"{p}_n_prev"),
+        F.expr(f"percentile({val}, 0.25) OVER ({frame})").alias("_q1"),
+        F.expr(f"percentile({val}, 0.5) OVER ({frame})").alias("_med"),
+        F.expr(f"percentile({val}, 0.75) OVER ({frame})").alias("_q3"),
     )
     ok = F.col(f"{p}_n_prev") >= int(min_history)
     iqr = F.col("_q3") - F.col("_q1")
@@ -285,14 +284,16 @@ def bucketed_robust_stats(
     # NULL-bucket rows must not feed anyone's history
     val = f"CASE WHEN _bk IS NOT NULL THEN {value} END"
     valid = F.col("_bk").isNotNull()
-    d = (
-        d.withColumn(
-            f"{p}_n_prev",
-            F.when(valid, F.expr(f"COUNT({val}) OVER ({frame})")),
-        )
-        .withColumn("_q1", F.expr(f"percentile({val}, 0.25) OVER ({frame})"))
-        .withColumn("_med", F.expr(f"percentile({val}, 0.5) OVER ({frame})"))
-        .withColumn("_q3", F.expr(f"percentile({val}, 0.75) OVER ({frame})"))
+    # single projection -> single Window operator (see
+    # expanding_robust_stats; plan pinned by regression test)
+    d = d.select(
+        "*",
+        F.when(valid, F.expr(f"COUNT({val}) OVER ({frame})")).alias(
+            f"{p}_n_prev"
+        ),
+        F.expr(f"percentile({val}, 0.25) OVER ({frame})").alias("_q1"),
+        F.expr(f"percentile({val}, 0.5) OVER ({frame})").alias("_med"),
+        F.expr(f"percentile({val}, 0.75) OVER ({frame})").alias("_q3"),
     )
     ok = F.col(f"{p}_n_prev") >= int(min_history)
     iqr = F.col("_q3") - F.col("_q1")

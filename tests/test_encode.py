@@ -718,3 +718,41 @@ def test_winsorize_global_matches_grouped(spark):
         .toPandas().sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)  # exact
+
+
+def _plan_of(out):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    return buf.getvalue()
+
+
+def test_encoders_single_window_plan(spark, zs_rows):
+    """Plan regression: every windowed encoder must carry exactly ONE
+    Window operator and ONE exchange — chained withColumn interleaves
+    Projects that defeat CollapseWindow, silently multiplying the
+    per-partition buffer passes (observed: 4 Window nodes before the
+    single-projection rewrite). This is the shape SCALE.md's cost
+    arguments depend on."""
+    import re
+
+    df = _frame(spark, zs_rows)
+    outs = {
+        "zscore": EN.expanding_zscore(df, by="ent", ts="ts", value="value"),
+        "robust_perrow": EN.expanding_robust_stats(
+            df, by="ent", ts="ts", value="value", id_col="id"
+        ),
+        "robust_bucketed": EN.bucketed_robust_stats(
+            df, by="ent", ts="ts", value="value", bucket_seconds=10.0
+        ),
+        "frequency": EN.frequency_encode(df, by="ent", ts="ts"),
+    }
+    for name, out in outs.items():
+        plan = _plan_of(out)
+        n_win = len(re.findall(r"\(\d+\) Window\b", plan))
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert n_win == 1, f"{name}: {n_win} Window operators (want 1)"
+        assert n_ex == 1, f"{name}: {n_ex} Exchanges (want 1)"

@@ -536,10 +536,18 @@ def temporal_holdout(
     by_l = _as_list(by)
     by_sql = ", ".join(by_l)
     spec = f"PARTITION BY {by_sql}"
-    d = df.withColumn(
-        "holdout_rn",
-        F.expr(f"ROW_NUMBER() OVER ({spec} ORDER BY {ts} ASC NULLS FIRST, {id_col})"),
-    ).withColumn("holdout_n", F.expr(f"COUNT(*) OVER ({spec})"))
+    order = f"ORDER BY {ts} ASC NULLS FIRST, {id_col}"
+    # COUNT carries the same ordering with a full-partition ROWS frame so
+    # both functions share ONE Window operator (an unordered COUNT spec
+    # forces a second Window pass; value identical).
+    d = df.select(
+        "*",
+        F.expr(f"ROW_NUMBER() OVER ({spec} {order})").alias("holdout_rn"),
+        F.expr(
+            f"COUNT(*) OVER ({spec} {order} ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND UNBOUNDED FOLLOWING)"
+        ).alias("holdout_n"),
+    )
     n_valid = F.floor(F.lit(float(valid_frac)) * F.col("holdout_n").cast("double"))
     return d.withColumn(
         "split",

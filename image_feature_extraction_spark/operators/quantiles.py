@@ -52,7 +52,10 @@ def exact_quantile_values(
     keys_l = _as_list(keys)
     df = df.where(F.col(value).isNotNull())
     w = Window.partitionBy(*keys_l).orderBy(F.col(value).asc())
-    wcnt = Window.partitionBy(*keys_l)
+    # group count carries the same ordering with a full-partition ROWS
+    # frame so it shares ONE Window operator with row_number (an
+    # unordered COUNT spec forces a second Window pass; value identical)
+    wcnt = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = df.select(
         *keys_l,
         F.col(value),

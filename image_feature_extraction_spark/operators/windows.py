@@ -184,18 +184,22 @@ def moving_aggregate(
         f"RANGE BETWEEN {float(width)!r} PRECEDING AND CURRENT ROW"
     )
     dec = f"CAST({value} AS DECIMAL(18,2))"
+    # one projection -> one Window operator (chained withColumn defeated
+    # CollapseWindow: measured 3 Window nodes); the mean reuses the
+    # materialized sum/count columns — CAST(DECIMAL(38,2) AS DOUBLE) is
+    # the identical correctly-rounded conversion, so bits don't change.
     return (
-        d.withColumn(f"{out_prefix}_n", F.expr(f"COUNT(1) OVER ({frame})"))
-        .withColumn(
-            f"{out_prefix}_sum",
-            F.expr(f"CAST(SUM({dec}) OVER ({frame}) AS DECIMAL(38,2))"),
+        d.select(
+            "*",
+            F.expr(f"COUNT(1) OVER ({frame})").alias(f"{out_prefix}_n"),
+            F.expr(f"CAST(SUM({dec}) OVER ({frame}) AS DECIMAL(38,2))").alias(
+                f"{out_prefix}_sum"
+            ),
         )
         .withColumn(
             f"{out_prefix}_mean",
-            F.expr(
-                f"CAST(SUM({dec}) OVER ({frame}) AS DOUBLE)"
-                f" / CAST(COUNT(1) OVER ({frame}) AS DOUBLE)"
-            ),
+            F.col(f"{out_prefix}_sum").cast("double")
+            / F.col(f"{out_prefix}_n").cast("double"),
         )
         .drop("_epoch")
     )

@@ -614,13 +614,39 @@ def batch_feature_vectors(
                 # DRAM-bandwidth-bound kernel. The eigen stage (the hot
                 # spot) still runs on foreground cells only.
                 sm = normalized_convolution(img, cert, sigma)
-                gm = gradient_magnitude(sm)
-                H = hessian6(sm)
                 binit(sm.reshape(B, -1)[rows, cols], si, 0)
+                # derivative block with SHARED first-derivative
+                # intermediates (hessian6 recomputes dx/dy that
+                # gradient_magnitude already produced — 2 full stencil
+                # passes saved) and gather-BEFORE-stack for the Hessian
+                # components (hessian6 materializes a (B,s,s,s,6) array
+                # the loop would immediately gather from; stacking the
+                # gathered (n_fg,) columns writes 6*n_fg instead of
+                # 6*cells doubles). Same expression trees op for op —
+                # bit-identical to gradient_magnitude/hessian6, pinned
+                # by the fusion parity test.
+                dx = derivative(sm, 0, 1)
+                dy = derivative(sm, 1, 1)
+                dz = derivative(sm, 2, 1)
+                gm = np.sqrt(dx * dx + dy * dy + dz * dz)
                 binit(gm.reshape(B, -1)[rows, cols], si, 1)
-                del sm, gm
-                sel_H = H.reshape(B, -1, 6)[rows, cols]
-                del H
+                del gm, dz
+
+                def sel(a):
+                    return a.reshape(B, -1)[rows, cols]
+
+                sel_H = np.stack(
+                    [
+                        sel(derivative(sm, 0, 2)),   # Dxx
+                        sel(derivative(dx, 1, 1)),   # Dxy
+                        sel(derivative(dx, 2, 1)),   # Dxz
+                        sel(derivative(sm, 1, 2)),   # Dyy
+                        sel(derivative(dy, 2, 1)),   # Dyz
+                        sel(derivative(sm, 2, 2)),   # Dzz
+                    ],
+                    axis=-1,
+                )
+                del sm, dx, dy
                 ev = eig3x3(sel_H)
                 del sel_H
                 e0, e1, e2 = ev[..., 0], ev[..., 1], ev[..., 2]

@@ -756,3 +756,44 @@ def test_encoders_single_window_plan(spark, zs_rows):
         n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
         assert n_win == 1, f"{name}: {n_win} Window operators (want 1)"
         assert n_ex == 1, f"{name}: {n_ex} Exchanges (want 1)"
+
+
+@pytest.mark.parametrize("seed", [3, 2024])
+def test_bucketed_robust_stats_fuzz_vs_replay(spark, seed):
+    """Random tables (NULL ts/values/entities, duplicate ts) vs a pure
+    numpy replay of the bucket-frozen definition: quantiles of all
+    non-null values in strictly-earlier buckets."""
+    B = 300.0
+    rows = _random_events(seed, n=300)
+    out = (
+        EN.bucketed_robust_stats(
+            _frame(spark, rows), by="ent", ts="ts", value="value",
+            bucket_seconds=B, min_history=3,
+        )
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    rdf = pd.DataFrame(rows, columns=["id", "ent", "ts", "value"])
+    epoch = (rdf.ts - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    rdf["bk"] = np.floor(epoch / B)
+    for _, r in rdf.iterrows():
+        got = out.loc[r.id]
+        if pd.isna(r.ts):
+            assert got[["rb_bucket", "rb_n_prev", "rb_median_prev",
+                        "rb_iqr_prev", "rb_is_outlier"]].isna().all()
+            continue
+        past = rdf[
+            (rdf.ent.isna() if pd.isna(r.ent) else (rdf.ent == r.ent))
+            & rdf.bk.notna() & (rdf.bk < r.bk) & rdf.value.notna()
+        ].value.to_numpy(dtype=np.float64)
+        assert got.rb_n_prev == len(past)
+        if len(past) >= 3:
+            q1, med, q3 = np.quantile(past, [0.25, 0.5, 0.75])
+            assert np.isclose(got.rb_median_prev, med)
+            assert np.isclose(got.rb_iqr_prev, q3 - q1)
+            if not pd.isna(r.value):
+                lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+                assert bool(got.rb_is_outlier) == (r.value < lo or r.value > hi)
+        else:
+            assert pd.isna(got.rb_median_prev)

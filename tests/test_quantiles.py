@@ -43,3 +43,27 @@ def test_exact_quantiles_partition_invariant(spark):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_global_interpolated_quantiles_partition_boundaries(spark):
+    """The floor/ceil order statistics of a wanted quantile can live in
+    DIFFERENT range partitions; force tiny partitions so boundary
+    straddling occurs and verify bit-parity with Spark percentile."""
+    import numpy as np
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators.quantiles import (
+        global_interpolated_quantiles,
+    )
+
+    rng = np.random.default_rng(2)
+    vals = np.round(rng.normal(0, 100, 997), 3)  # odd count, duplicates
+    vals[::7] = vals[0]  # heavy duplicates across partitions
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    ps = [0.0, 0.01, 0.25, 0.5, 0.513, 0.75, 0.99, 1.0]
+    # 64 partitions of ~15 rows each: quantile neighbors straddle often
+    got = global_interpolated_quantiles(df, "v", ps, num_partitions=64)
+    want = [float(x) for x in df.selectExpr(
+        f"percentile(v, array({', '.join(repr(p) + 'D' for p in ps)})) q"
+    ).collect()[0]["q"]]
+    assert got == want  # bit-exact

@@ -166,6 +166,7 @@ def expanding_robust_stats(
     k: float = 1.5,
     min_history: int = 4,
     out_prefix: str = "rb",
+    max_history_rows: int | None = 50_000,
 ) -> DataFrame:
     """Expanding median/IQR of the entity's history + Tukey-fence outlier
     flag: outlier iff value < Q1 - k*IQR or value > Q3 + k*IQR, with the
@@ -193,6 +194,14 @@ def expanding_robust_stats(
     10^6+. For long histories use ``bucketed_robust_stats``, which
     freezes the quantiles at time-bucket granularity and pays one
     percentile evaluation per (entity, bucket) instead of per row.
+
+    The boundary is ENFORCED, not just documented: any row whose prior
+    history exceeds ``max_history_rows`` (default 50k — the measured
+    quadratic already costs ~minutes per 20k-row entity) raises at
+    execution time with a pointer to ``bucketed_robust_stats``. The
+    check rides the already-computed history count inside the existing
+    projection (no extra window/exchange; the single-Window plan the
+    regression test pins is unchanged). Pass ``None`` to disable.
     """
     by_l = _as_list(by)
     p = out_prefix
@@ -221,6 +230,22 @@ def expanding_robust_stats(
         F.expr(f"percentile({val}, 0.75) OVER ({frame})").alias("_q3"),
     )
     ok = F.col(f"{p}_n_prev") >= int(min_history)
+    if max_history_rows is not None:
+        # assert_true returns NULL when the predicate holds, so the
+        # isNull() wrapper is value-transparent for compliant data and
+        # raises mid-job the moment one entity's history crosses the
+        # cap. Anchored under `ok` in the output expression so Catalyst
+        # cannot prune it, and evaluated only for rows that have enough
+        # history to matter.
+        ok = ok & F.assert_true(
+            F.coalesce(F.col(f"{p}_n_prev"), F.lit(0))
+            <= F.lit(int(max_history_rows)),
+            f"expanding_robust_stats: an entity's prior history exceeded "
+            f"max_history_rows={int(max_history_rows)}; the per-row "
+            f"expanding percentile is O(n^2 log n) per entity — use "
+            f"bucketed_robust_stats for long histories, or raise the cap "
+            f"explicitly (max_history_rows=None disables the guard)",
+        ).isNull()
     iqr = F.col("_q3") - F.col("_q1")
     lo = F.col("_q1") - F.lit(float(k)) * iqr
     hi = F.col("_q3") + F.lit(float(k)) * iqr

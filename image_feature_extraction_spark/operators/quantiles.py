@@ -106,18 +106,27 @@ def global_interpolated_quantiles(
     action otherwise) — a one-column cache that spills to disk at
     scale, the standard two-job exact-selection tradeoff.
 
-    NULL values are excluded (both engines' percentile rule); NaN sorts
-    greatest (top ranks) in both engines — filter upstream if present.
-    Returns floats (None when the population is empty) aligned with
-    ``ps``.
+    NULL values are excluded (both engines' percentile rule), and NaN
+    values are excluded too — a NaN sorts greatest and would otherwise
+    silently occupy the top ranks, so the old "filter upstream" caveat
+    is enforced here rather than documented. Probabilities outside
+    [0, 1] raise ValueError up front (a bad p would otherwise surface
+    as a KeyError from a rank no partition owns). Returns floats (None
+    when the population is empty) aligned with ``ps``.
     """
     import math
 
+    for p_ in ps:
+        if not 0.0 <= float(p_) <= 1.0:
+            raise ValueError(
+                f"quantile probability {p_!r} outside [0, 1]: the rank "
+                f"p*(n-1) would fall outside every partition"
+            )
     sc = df.sparkSession.sparkContext
     P = int(num_partitions or sc.defaultParallelism)
     d = (
         df.select(F.col(value).cast("double").alias("_v"))
-        .where(F.col("_v").isNotNull())
+        .where(F.col("_v").isNotNull() & ~F.isnan("_v"))
         .repartitionByRange(P, F.col("_v"))
         .sortWithinPartitions("_v")
         .withColumn("_pid", F.spark_partition_id())

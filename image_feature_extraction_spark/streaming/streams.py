@@ -202,6 +202,28 @@ def dedup_exact(
     return out
 
 
+def _cents_half_up(vals):
+    """Integer cents of a float64 array, rounded HALF_UP (ties away from
+    zero) — the streaming mirror of the batch operators' ``CAST(x AS
+    DECIMAL(18,2)) * 100`` (Spark/DuckDB DECIMAL casts round HALF_UP).
+    ``np.round`` is round-half-even, so exactly-representable half-cent
+    ties (0.125 -> 13 cents HALF_UP, 12 half-even) would diverge from
+    the batch twin; sign-adjusted floor(|v|*100 + 0.5) matches the cast.
+    2-decimal labels (the documented contract, ``encode.cents_sql``)
+    never tie, so this only widens the parity envelope. Residual 1-ulp
+    hazard: |v|*100 is the correctly-rounded double PRODUCT, while the
+    DECIMAL cast rescales the exact binary value — indistinguishable
+    except for doubles whose *100 product lands exactly on a half cent
+    the exact value misses; no 2- or 3-decimal literal does.
+    Caller masks NaN first (np.round/floor on NaN -> undefined int64).
+    """
+    import numpy as np
+
+    return (np.sign(vals) * np.floor(np.abs(vals) * 100.0 + 0.5)).astype(
+        np.int64
+    )
+
+
 ZSCORE_STATE_SCHEMA = "n long, s_cents long, ss_cents4 long"
 
 
@@ -312,7 +334,7 @@ def streaming_zscore(
             # COUNT(value)/DECIMAL sums skip NULLs.
             vals = grp[value].to_numpy(np.float64)
             ok = ~np.isnan(vals)
-            vc = np.round(vals[ok] * 100.0).astype(np.int64)
+            vc = _cents_half_up(vals[ok])
             n += int(ok.sum())
             s_c += int(vc.sum())
             ss_c += int((vc * vc).sum())
@@ -480,7 +502,7 @@ def streaming_decayed(
             )
             vals = grp[value].to_numpy(dtype=np.float64)
             ok = ~np.isnan(vals)
-            cents[0] += int(np.round(vals[ok] * 100.0).astype(np.int64).sum())
+            cents[0] += int(_cents_half_up(vals[ok]).sum())
             cnts[0] += int(ok.sum())
         if base is not None:
             state.update((base, [int(x) for x in cents], [int(x) for x in cnts]))
@@ -623,13 +645,19 @@ def streaming_target_encode(
     State per category is five longs: completed-bucket count + label
     cents, plus the OPEN bucket's id and partials; when an event opens a
     later bucket the open partials fold into the totals. BIT-EXACT parity
-    with the batch operator: label sums are integer cents (the streaming
-    mirror of DECIMAL(38,2) — cents/100.0 and CAST(DECIMAL AS DOUBLE) are
-    both correctly rounded to the same double), and the float
-    post-processing replays the batch expression tree op for op. Arrival
-    contract: per-category bucket-ordered micro-batches (the
-    daily-increment shape); NULL-ts rows get NULL features and count
-    nothing; NULL labels count nothing (COUNT(label) semantics).
+    with the batch operator for labels of <= 2 decimals (the
+    ``encode.cents_sql`` contract): label sums are integer cents rounded
+    HALF_UP like the batch DECIMAL(18,2) cast (``_cents_half_up`` — so
+    even half-cent ties like 0.125 match), cents/100.0 and CAST(DECIMAL
+    AS DOUBLE) are both correctly rounded to the same double, and the
+    float post-processing replays the batch expression tree op for op.
+    Arrival contract: per-category bucket-ordered micro-batches (the
+    daily-increment shape) — ENFORCED: an event whose bucket precedes
+    the open bucket (late data across micro-batches) gets NULL features
+    with its te_bucket kept (observable downstream) and contributes
+    nothing to state, instead of silently corrupting it. NULL-ts rows
+    get NULL features and count nothing; NULL labels count nothing
+    (COUNT(label) semantics).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -687,6 +715,31 @@ def streaming_target_encode(
                 )
                 continue
             b = int(bks[grp.index[0]])
+            if cur_bk is not None and b < cur_bk:
+                # CONTRACT VIOLATION (per-category bucket-ordered
+                # arrival): this bucket already completed in an earlier
+                # micro-batch. Silently scoring it against history that
+                # includes LATER buckets — and folding its labels into
+                # the currently-open bucket — would permanently diverge
+                # from the batch operator. Instead the late rows get
+                # NULL features (te_bucket kept, so violations are
+                # observable downstream) and contribute NOTHING to
+                # state; late data beyond the contract is a reprocess,
+                # not a state patch (streaming_zscore's rule).
+                k = len(grp)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            by: [key_[0]] * k,
+                            "te_bucket": np.full(k, b, dtype=np.int64),
+                            "te_n_prev": pd.array([None] * k, dtype="Int64"),
+                            "te_mean_prev": [None] * k,
+                            "te_enc": [None] * k,
+                        }
+                    )
+                )
+                continue
             if cur_bk is not None and b > cur_bk:
                 n_prev += cur_n
                 cents_prev += cur_cents
@@ -710,7 +763,7 @@ def streaming_target_encode(
             )
             vals = grp[label].to_numpy(dtype=np.float64)
             ok = ~np.isnan(vals)
-            cur_cents += int(np.round(vals[ok] * 100.0).astype(np.int64).sum())
+            cur_cents += int(_cents_half_up(vals[ok]).sum())
             cur_n += int(ok.sum())
         state.update(
             (

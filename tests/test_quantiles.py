@@ -67,3 +67,26 @@ def test_global_interpolated_quantiles_partition_boundaries(spark):
         f"percentile(v, array({', '.join(repr(p) + 'D' for p in ps)})) q"
     ).collect()[0]["q"]]
     assert got == want  # bit-exact
+
+
+def test_global_interpolated_quantiles_validates_ps_and_skips_nan(spark):
+    """ps outside [0,1] raises a clear ValueError up front (not a late
+    KeyError from a rank no partition owns), and NaN values are excluded
+    like NULLs instead of silently occupying the top ranks (ADVICE r4)."""
+    import pytest as _pytest
+
+    from image_feature_extraction_spark.operators.quantiles import (
+        global_interpolated_quantiles,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, float("nan"), None]
+    df = spark.createDataFrame(pd.DataFrame({"v": pd.array(vals, dtype="float64")}))
+
+    with _pytest.raises(ValueError, match=r"outside \[0, 1\]"):
+        global_interpolated_quantiles(df, "v", [0.5, 1.5])
+    with _pytest.raises(ValueError, match=r"outside \[0, 1\]"):
+        global_interpolated_quantiles(df, "v", [-0.1])
+
+    # NaN + NULL excluded: population is {1,2,3,4}
+    got = global_interpolated_quantiles(df, "v", [0.0, 0.5, 1.0])
+    assert got == [1.0, 2.5, 4.0]

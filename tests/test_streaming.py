@@ -862,3 +862,136 @@ def test_streaming_twins_fuzz_vs_batch(spark, tmp_path, seed):
         ["event_id", "user_id", "decay_sum", "decay_cnt"],
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact
+
+
+def test_streaming_target_encode_late_bucket_observable(spark, tmp_path):
+    """Arrival-contract ENFORCEMENT: an event whose bucket precedes the
+    open bucket (late data across micro-batches) must get NULL features
+    with its te_bucket kept — observable downstream — and contribute
+    NOTHING to state, instead of being silently scored against future
+    history and folded into the wrong bucket (ADVICE r4)."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # slice 1: bucket 0 then bucket 1 (bucket 0 completes in-batch)
+        (0, "u", "click", t(0), 10.0),
+        (1, "u", "click", t(3700), 20.0),
+        # slice 2: bucket-0 straggler (LATE: open bucket is 1) + bucket 2
+        (2, "u", "click", t(100), 999.0),
+        (3, "u", "click", t(7300), 30.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    d = str(tmp_path / "late_slices")
+    for lo, hi in ((0, 2), (2, 4)):
+        df.where(F.col("event_id").isin(list(range(lo, hi)))).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    sdf = ST.stream_events(spark, d, df.schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        ST.streaming_target_encode(
+            sdf, by="event_type", ts="ts", label="value", time_bucket=3600.0
+        ),
+        "late_te", "update",
+    )
+    got = (
+        spark.table("late_te").toPandas().sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # the late row: bucket kept (observable), features NULL
+    late = got.loc[2]
+    assert late["te_bucket"] == 473352  # floor(epoch(2024-01-01T00:01:40)/3600)
+    assert pd.isna(late["te_n_prev"]) and pd.isna(late["te_enc"])
+    # state uncorrupted: event 3 sees exactly buckets 0+1 = {10, 20} —
+    # the 999 neither joined the open bucket nor the completed totals
+    assert got.loc[3, "te_n_prev"] == 2
+    assert got.loc[3, "te_mean_prev"] == 15.0
+
+
+def test_streaming_cents_half_up_ties_match_batch(spark, tmp_path):
+    """Half-cent ties (exactly-representable doubles like 0.125) must
+    round HALF_UP like the batch DECIMAL(18,2) cast — np.round's
+    half-even would give 12 cents where batch has 13 (ADVICE r4). Runs
+    the zscore and target-encode twins against their batch operators on
+    a tie-heavy table split across two micro-batches."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators import encode as EN
+
+    T0 = dt.datetime(2024, 1, 1)
+    vals = [0.125, -0.125, 0.625, 10.375, -3.875, 2.5]  # all exact .5-cent ties
+    rows = [
+        (i, "u", "click", T0 + dt.timedelta(seconds=3700 * i), v)
+        for i, v in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    d = str(tmp_path / "tie_slices")
+    for lo, hi in ((0, 3), (3, 6)):
+        df.where(F.col("event_id").isin(list(range(lo, hi)))).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    batch = spark.read.parquet(d)
+
+    def drain(stream_df, name):
+        ST.run_to_memory(stream_df, name, "update")
+        return (
+            spark.table(name).toPandas().sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    sdf = ST.stream_events(spark, d, df.schema, max_files_per_trigger=1)
+    got = drain(ST.streaming_zscore(sdf), "tie_zs")
+    want = (
+        EN.expanding_zscore(batch, by="user_id", ts="ts", value="value")
+        .select("event_id", "user_id", "z_n_prev", "z_mean_prev",
+                "z_var_prev", "z_score")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact
+    # pin the divergent tie directly: history {0.125} -> batch DECIMAL
+    # mean 0.13, not half-even's 0.12
+    assert got.loc[1, "z_mean_prev"] == 0.13
+
+    sdf = ST.stream_events(spark, d, df.schema, max_files_per_trigger=1)
+    got = drain(
+        ST.streaming_target_encode(
+            sdf, by="event_type", ts="ts", label="value", time_bucket=3600.0
+        ),
+        "tie_te",
+    )
+    want = (
+        EN.target_encode(
+            batch.select("event_id", "event_type", "ts", "value"),
+            by="event_type", ts="ts", label="value", time_bucket=3600.0,
+        )
+        .select("event_id", "event_type", "te_bucket", "te_n_prev",
+                "te_mean_prev", "te_enc")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact

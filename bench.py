@@ -9,9 +9,12 @@ relational query from ``__spark_entry__.queries()`` at
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "extras": {...}}
 
-Timing methodology: each query is materialized with a noop-format write
-(full execution, no driver collect) after a warm-up of the session; the
-flagship throughput is reported as sequences/sec in extras. Scaling
+Timing methodology (v3, tagged in the output JSON): each query is
+materialized with a noop-format write (full execution, no driver
+collect) after an untimed warm-up, best of 2-5 escalating reps; the
+flagship throughput is the MEDIAN of 5 shots interleaved across the
+suite run (all shots persisted in extras — the host's minutes-scale
+drift band makes any single-instant number unreliable). Scaling
 evidence lives in ``python bench.py --scaling [docs]`` → BENCH/BASELINE.md
 (separate JVMs per parallelism level — a JVM's master is fixed at
 session creation).
@@ -189,15 +192,22 @@ def main() -> None:
     from image_feature_extraction_spark.plans.flagship import flagship_stats
 
     stats = flagship_stats(spark, FLAGSHIP_DOCS)
-    flag_s = None
-    for _ in range(2):
+    flag_shots: list[float] = []
+
+    def _flagship_shot() -> None:
         t0 = time.time()
         _materialize(flagship_pipeline(spark, FLAGSHIP_DOCS, stats=stats))
-        dt = time.time() - t0
-        flag_s = dt if flag_s is None else min(flag_s, dt)
-    timings["q_flagship_asof_features"] = round(flag_s, 3)
-    extras["flagship_docs"] = FLAGSHIP_DOCS
-    extras["sequences_per_sec"] = round(FLAGSHIP_DOCS / flag_s, 1)
+        flag_shots.append(time.time() - t0)
+
+    # Headline protocol (drift-proof): the host shows minutes-scale
+    # throughput drift (documented 20-29.5k seqs/s day band; BENCH_r04's
+    # driver artifact read 22.1k where the identical code measured 26.2k
+    # locally). A best-of-2 at one instant samples ONE point of that
+    # band; instead take 2 shots now and 3 more INTERLEAVED through the
+    # query suite (below), so the shots span the full bench window, and
+    # report the MEDIAN with every shot persisted in extras.
+    _flagship_shot()
+    _flagship_shot()
 
     skip = {
         "q_flagship_features",  # superseded by the timed flagship above
@@ -217,9 +227,17 @@ def main() -> None:
     # of the previous best means one-time costs were still releasing —
     # keep going (cap 5 reps); the stable majority still pays exactly
     # warm-up + 2.
-    for name, fn in entrymod.queries().items():
-        if name in skip:
-            continue
+    qitems = [(n, f) for n, f in entrymod.queries().items() if n not in skip]
+    # flagship shots 3-5 fire after these suite positions (quartiles), so
+    # the 5 shots sample host drift across the whole bench run
+    shot_after = {
+        len(qitems) // 4,
+        len(qitems) // 2,
+        (3 * len(qitems)) // 4,
+    }
+    for qi, (name, fn) in enumerate(qitems):
+        if qi in shot_after:
+            _flagship_shot()
         try:
             _materialize(fn(spark, sf_dir))  # warm-up, not counted
             reps = []
@@ -234,6 +252,13 @@ def main() -> None:
             timings[name] = -1.0
             extras[f"error_{name}"] = f"{type(e).__name__}: {e}"[:200]
 
+    flag_med = sorted(flag_shots)[len(flag_shots) // 2]
+    timings["q_flagship_asof_features"] = round(flag_med, 3)
+    extras["flagship_docs"] = FLAGSHIP_DOCS
+    extras["flagship_shots_sec"] = [round(s, 3) for s in flag_shots]
+    extras["sequences_per_sec"] = round(FLAGSHIP_DOCS / flag_med, 1)
+    extras["sequences_per_sec_best"] = round(FLAGSHIP_DOCS / min(flag_shots), 1)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
@@ -244,6 +269,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extras": extras,
+                # ADVICE r4: tag the methodology so BENCH_*.json diffs can
+                # detect incomparable runs. v1 = cold best-of-2 (<= r3);
+                # v2 = untimed warm-up + rep escalation (r4); v3 = v2 +
+                # flagship median of 5 suite-interleaved shots (r5).
+                "methodology": {
+                    "version": 3,
+                    "queries": "untimed warm-up + best of 2-5 escalating reps",
+                    "flagship": "median of 5 shots interleaved across the suite",
+                },
             }
         )
     )

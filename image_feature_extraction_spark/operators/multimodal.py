@@ -11,9 +11,11 @@ is explicit:
   fixed-dim feature vector from the payload bytes; real Spark plumbing
   (schema, batching, partitioning) with a fake codec. Used by tests.
 - ``decode_fn='real'``  — gated behind import; raises NotImplementedError
-  with the dependency name when the library is missing. The call site,
-  batch shape, and output schema are identical to the fake path, so
-  swapping in the real codec changes no plan.
+  with the dependency name when the library is missing, except audio,
+  which falls back to a stdlib `wave` PCM decode (runs in-container,
+  tested end-to-end). The call site, batch shape, and output schema are
+  identical to the fake path, so swapping in the real codec changes no
+  plan.
 
 Multimodal rows are heavy (payloads measured in MB); Arrow batch size is
 already bounded by session.py's maxRecordsPerBatch, and the decode stage
@@ -100,17 +102,59 @@ def _image_features_from_array(gray: np.ndarray) -> np.ndarray:
     return out
 
 
+def _wav_pcm_decode(payload: bytes) -> np.ndarray:
+    """Stdlib-only WAV decode (the `wave` module ships with CPython, so
+    this real-codec path EXECUTES in this container, unlike the
+    soundfile/PIL/PyAV bodies): integer PCM frames -> mono float64 in
+    [-1, 1], matching soundfile's normalization for the same container
+    (int16/int32 scale 2^(bits-1); u8 is offset binary)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # WAV 8-bit is UNSIGNED, midpoint 128
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(
+            f"stdlib WAV fallback handles 8/16/32-bit integer PCM, got "
+            f"sample width {width}; install soundfile for other encodings"
+        )
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch).mean(axis=1)
+    return data
+
+
+def _rms_envelope(data: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-segment RMS envelope of a mono signal."""
+    if data.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    edges = np.linspace(0, data.size, FEATURE_DIM + 1).astype(int)
+    out = np.empty(FEATURE_DIM, dtype=np.float64)
+    for i in range(FEATURE_DIM):
+        seg = data[edges[i]:max(edges[i + 1], edges[i] + 1)]
+        out[i] = float(np.sqrt(np.mean(seg * seg)))
+    return out
+
+
 def _real_decode(payload: bytes, modality: str) -> np.ndarray:
     """The real-codec boundary, import-guarded: a missing library raises
-    NotImplementedError naming the dependency (this container ships no
-    media libraries, so in the sandbox the fake codec is the tested
-    path); with the library PRESENT the payload is actually decoded —
+    NotImplementedError naming the dependency — EXCEPT audio, which falls
+    back to a stdlib `wave` integer-PCM decode, so the real audio path
+    executes and is parity-tested in any CPython environment including
+    this container. With the libraries present the payload is decoded —
     image: PIL open -> grayscale -> 4x4 block-mean thumbnail; audio:
-    soundfile read -> mono -> 16-segment RMS envelope; video: PyAV frame
-    iteration (up to 16 frames) -> per-frame thumbnail average. All three
-    return FEATURE_DIM floats, the same schema as the fake path, so
-    swapping codecs changes no plan. Skip-marked tests exercise the real
-    bodies whenever the libraries exist."""
+    soundfile read (preferred; FLAC/OGG/float-PCM) or stdlib WAV -> mono
+    -> 16-segment RMS envelope; video: PyAV frame iteration (up to 16
+    frames) -> per-frame thumbnail average. All three return FEATURE_DIM
+    floats, the same schema as the fake path, so swapping codecs changes
+    no plan."""
     import io
 
     if modality == "image":
@@ -127,22 +171,16 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
     if modality == "audio":
         try:
             import soundfile
-        except ImportError as e:
-            raise NotImplementedError(
-                "real audio decode requires soundfile (not in this container)"
-            ) from e
+        except ImportError:
+            # stdlib fallback: WAV integer-PCM decodes with CPython's
+            # `wave` module — the one real codec that runs ANYWHERE,
+            # including this container. soundfile stays preferred when
+            # present (FLAC/OGG/float-PCM coverage).
+            return _rms_envelope(_wav_pcm_decode(payload))
         data, _sr = soundfile.read(io.BytesIO(payload), dtype="float64")
         if data.ndim > 1:
             data = data.mean(axis=1)  # downmix to mono
-        if data.size == 0:
-            return np.zeros(FEATURE_DIM, dtype=np.float64)
-        # 16-segment RMS envelope
-        edges = np.linspace(0, data.size, FEATURE_DIM + 1).astype(int)
-        out = np.empty(FEATURE_DIM, dtype=np.float64)
-        for i in range(FEATURE_DIM):
-            seg = data[edges[i]:max(edges[i + 1], edges[i] + 1)]
-            out[i] = float(np.sqrt(np.mean(seg * seg)))
-        return out
+        return _rms_envelope(data)
     if modality == "video":
         try:
             import av

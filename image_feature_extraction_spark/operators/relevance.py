@@ -22,7 +22,13 @@ Determinism contract — the one transcendental in the package:
   avgdl) is exact-rational double arithmetic emitted once as shared SQL
   text (``_bm25_score_expr``).
 - ``idf="native"`` is the PRODUCTION path (in-engine F.log, no LUT):
-  same values within 1 ulp, no driver-side work, any corpus size.
+  idf within 1 ulp of the LUT value (Math.log vs math.log, each
+  correctly-rounded-or-1-ulp on the SAME exact argument), and SCORES
+  within 2 ulp — the idf's 1-ulp relative error rides through the
+  saturation product and its final rounding can add up to one more
+  (property-tested across random corpora: measured max exactly 2.0
+  ulp, 6 of ~1900 postings past 1 ulp). No driver-side work, any
+  corpus size.
 
 Scale notes (10^12 docs):
 - the term explode + (doc_id, term) count is the standard inverted-index

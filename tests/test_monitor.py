@@ -286,3 +286,43 @@ def test_drift_against_reference_new_group_visible(spark):
     assert nov["n_ref"] == 0 and nov["n_cur"] == 1
     assert pd.isna(nov["tv_distance"])  # guarded, not fabricated
     assert out.loc["seen", "tv_distance"] == 1.0
+
+
+@pytest.mark.parametrize("seed", [11, 977])
+def test_bm25_native_vs_lut_property_random_corpora(spark, seed):
+    """Property test of the relevance.py native-vs-LUT claim: random
+    zipf-ish corpora with heavy df variation, every posting compared
+    (VERDICT r4 #6). Java's Math.log and CPython's math.log are each
+    correctly-rounded-or-1-ulp on the bit-identical argument, so idf
+    differs by <= 1 ulp — and the score (idf * saturation factor) by
+    <= 2 ulp: the 1-ulp relative idf error survives the product, whose
+    own final rounding can add up to one more. This test originally
+    asserted 1 ulp and FAILED (seed 977: max exactly 2.0 ulp on 6
+    postings, all df=42 where the two logs disagree) — the 2-ulp bound
+    is the measured truth, and relevance.py's docstring was corrected
+    to match."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(60)])
+    # zipf weights -> some terms in ~every doc (df ~ n), some in one
+    wts = 1.0 / np.arange(1, len(vocab) + 1.0)
+    wts /= wts.sum()
+    docs = []
+    for d in range(150):
+        L = int(rng.integers(3, 40))
+        docs.append((f"d{d:04d}", " ".join(rng.choice(vocab, L, p=wts))))
+    corpus = spark.createDataFrame(docs, "doc_id string, text string")
+
+    k_all = 10_000  # no rank cutoff: every posting on both sides
+    lut = RV.bm25_topk(corpus, k=k_all, idf="lut").toPandas()
+    nat = RV.bm25_topk(corpus, k=k_all, idf="native").toPandas()
+    m = lut.merge(nat, on=["doc_id", "term"], suffixes=("_l", "_n"))
+    assert len(m) == len(lut) == len(nat) > 500
+    # tf/df/dl are integer-exact on both paths
+    for c in ("tf", "df_count", "dl"):
+        assert (m[f"{c}_l"] == m[f"{c}_n"]).all()
+    # scores within 2 ulp (1 ulp idf + up to 1 ulp product rounding)
+    tol = 2 * np.spacing(np.abs(m.score_l.to_numpy()))
+    assert (np.abs(m.score_l.to_numpy() - m.score_n.to_numpy()) <= tol).all()

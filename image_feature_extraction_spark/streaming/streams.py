@@ -418,7 +418,11 @@ def streaming_decayed(
     contract as streaming_zscore: per-entity time-ordered micro-batches
     (the daily-increment shape); rows sharing a timestamp score against
     the same pre-group state and never each other. Values must carry at
-    most 2 decimals (the batch DECIMAL(18,2) contract).
+    most 2 decimals (the batch DECIMAL(18,2) contract). The bucket-order
+    contract is ENFORCED across micro-batches: an event whose bucket
+    precedes the open bucket gets NULL features and contributes nothing
+    to the ring (it would otherwise read future buckets and book its
+    value under the newest one) — same rule as streaming_target_encode.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -474,6 +478,27 @@ def streaming_decayed(
                 )
                 continue
             b = int(bks[gi[0]])
+            if base is not None and b < base:
+                # CONTRACT VIOLATION (bucket-ordered arrival): this
+                # bucket already shifted out of the open position in an
+                # earlier micro-batch. Scoring it against the current
+                # ring would read FUTURE buckets, and folding its cents
+                # into cents[0] would book them under the NEWEST bucket
+                # — both permanently diverge from the batch operator.
+                # Late rows get NULL features and contribute nothing
+                # (same enforcement as streaming_target_encode).
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: grp[id_col].to_numpy(),
+                            key: [key_[0]] * len(grp),
+                            "decay_sum": [None] * len(grp),
+                            "decay_cnt": [None] * len(grp),
+                        },
+                        dtype="object",
+                    )
+                )
+                continue
             if base is None:
                 base = b
             elif b > base:

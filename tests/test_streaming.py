@@ -995,3 +995,60 @@ def test_streaming_cents_half_up_ties_match_batch(spark, tmp_path):
         .toPandas().sort_values("event_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)  # exact
+
+
+def test_streaming_decayed_late_bucket_observable(spark, tmp_path):
+    """streaming_decayed shares target_encode's bucket-order contract and
+    its enforcement: a bucket that already shifted out of the open
+    position (late data across micro-batches) gets NULL features and
+    contributes nothing to the ring — it would otherwise read FUTURE
+    buckets and book its value under the NEWEST bucket, permanently
+    diverging from the batch operator."""
+    import datetime as dt
+    import time as _time
+
+    import pandas as pd
+
+    T0 = dt.datetime(2024, 1, 1)
+    B = 3600.0
+
+    def t(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # slice 1: buckets 0 and 1
+        (0, "u", "click", t(0), 16.0),
+        (1, "u", "click", t(3700), 8.0),
+        # slice 2: bucket-0 straggler (late) + bucket 2
+        (2, "u", "click", t(200), 999.0),
+        (3, "u", "click", t(7300), 4.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    d = str(tmp_path / "late_decay")
+    for lo, hi in ((0, 2), (2, 4)):
+        df.where(F.col("event_id").isin(list(range(lo, hi)))).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    sdf = ST.stream_events(spark, d, df.schema, max_files_per_trigger=1)
+    ST.run_to_memory(
+        ST.streaming_decayed(sdf, key="user_id", bucket_seconds=B),
+        "late_decay", "update",
+    )
+    got = (
+        spark.table("late_decay").toPandas().sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # late row: NULL features, nothing folded
+    assert pd.isna(got.loc[2, "decay_sum"]) and pd.isna(got.loc[2, "decay_cnt"])
+    # event 3 (bucket 2) sees exactly {16 @ lag2, 8 @ lag1}: 16/4 + 8/2 = 8.0
+    # — the 999 never entered the ring
+    assert got.loc[3, "decay_sum"] == 8.0
+    assert got.loc[3, "decay_cnt"] == 0.25 + 0.5

@@ -195,9 +195,17 @@ def main() -> None:
     flag_shots: list[float] = []
 
     def _flagship_shot() -> None:
-        t0 = time.time()
-        _materialize(flagship_pipeline(spark, FLAGSHIP_DOCS, stats=stats))
-        flag_shots.append(time.time() - t0)
+        # a transient flagship failure must not kill the bench and
+        # discard every collected timing (same rule as the query loop);
+        # the remaining shots still yield a median
+        try:
+            t0 = time.time()
+            _materialize(flagship_pipeline(spark, FLAGSHIP_DOCS, stats=stats))
+            flag_shots.append(time.time() - t0)
+        except Exception as e:
+            extras.setdefault("flagship_shot_errors", []).append(
+                f"{type(e).__name__}: {e}"[:200]
+            )
 
     # Headline protocol (drift-proof): the host shows minutes-scale
     # throughput drift (documented 20-29.5k seqs/s day band; BENCH_r04's
@@ -252,12 +260,17 @@ def main() -> None:
             timings[name] = -1.0
             extras[f"error_{name}"] = f"{type(e).__name__}: {e}"[:200]
 
-    flag_med = sorted(flag_shots)[len(flag_shots) // 2]
-    timings["q_flagship_asof_features"] = round(flag_med, 3)
+    if flag_shots:
+        import statistics
+
+        flag_med = statistics.median(flag_shots)
+        timings["q_flagship_asof_features"] = round(flag_med, 3)
+        extras["sequences_per_sec"] = round(FLAGSHIP_DOCS / flag_med, 1)
+        extras["sequences_per_sec_best"] = round(
+            FLAGSHIP_DOCS / min(flag_shots), 1
+        )
     extras["flagship_docs"] = FLAGSHIP_DOCS
     extras["flagship_shots_sec"] = [round(s, 3) for s in flag_shots]
-    extras["sequences_per_sec"] = round(FLAGSHIP_DOCS / flag_med, 1)
-    extras["sequences_per_sec_best"] = round(FLAGSHIP_DOCS / min(flag_shots), 1)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
@@ -276,7 +289,13 @@ def main() -> None:
                 "methodology": {
                     "version": 3,
                     "queries": "untimed warm-up + best of 2-5 escalating reps",
-                    "flagship": "median of 5 shots interleaved across the suite",
+                    # actual shot count, not an aspirational label: a
+                    # filtered/partial registry yields fewer interleave
+                    # positions, and a shot can fail
+                    "flagship": (
+                        f"median of {len(flag_shots)} shots "
+                        "interleaved across the suite"
+                    ),
                 },
             }
         )

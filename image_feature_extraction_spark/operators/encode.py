@@ -195,13 +195,15 @@ def expanding_robust_stats(
     freezes the quantiles at time-bucket granularity and pays one
     percentile evaluation per (entity, bucket) instead of per row.
 
-    The boundary is ENFORCED, not just documented: any row whose prior
-    history exceeds ``max_history_rows`` (default 50k — the measured
-    quadratic already costs ~minutes per 20k-row entity) raises at
-    execution time with a pointer to ``bucketed_robust_stats``. The
-    check rides the already-computed history count inside the existing
-    projection (no extra window/exchange; the single-Window plan the
-    regression test pins is unchanged). Pass ``None`` to disable.
+    The boundary is ENFORCED, not just documented: any row with more
+    than ``max_history_rows`` prior FRAME ROWS (default 50k — the
+    measured quadratic already costs ~minutes per 20k-row entity)
+    raises at execution time with a pointer to
+    ``bucketed_robust_stats``. The guard counts frame rows (COUNT(1)),
+    not non-NULL values: NULL-value/NULL-ts rows still occupy the
+    percentile buffer, so a NULL-heavy entity pays the same quadratic.
+    The count shares the feature frame spec (still one Window, one
+    Exchange — plan-pinned). Pass ``None`` to disable.
     """
     by_l = _as_list(by)
     p = out_prefix
@@ -219,6 +221,16 @@ def expanding_robust_stats(
     # measured 4 Window operators (4 buffer passes per partition) vs 1
     # here; the select form is the single-Window plan the regression
     # test pins.
+    guard_cols = []
+    if max_history_rows is not None:
+        # COUNT(1) counts prior FRAME ROWS — not COUNT(val), which skips
+        # NULL-value/NULL-ts rows: those rows still occupy (and re-sort
+        # in) the percentile window buffer, so a NULL-heavy entity would
+        # otherwise evade the guard while paying the full quadratic.
+        # Same frame spec as the features -> still ONE Window operator.
+        guard_cols.append(
+            F.expr(f"COUNT(1) OVER ({frame})").alias("_rows_prev")
+        )
     d = d.select(
         "*",
         F.when(
@@ -228,24 +240,30 @@ def expanding_robust_stats(
         F.expr(f"percentile({val}, 0.25) OVER ({frame})").alias("_q1"),
         F.expr(f"percentile({val}, 0.5) OVER ({frame})").alias("_med"),
         F.expr(f"percentile({val}, 0.75) OVER ({frame})").alias("_q3"),
+        *guard_cols,
     )
     ok = F.col(f"{p}_n_prev") >= int(min_history)
     if max_history_rows is not None:
         # assert_true returns NULL when the predicate holds, so the
         # isNull() wrapper is value-transparent for compliant data and
         # raises mid-job the moment one entity's history crosses the
-        # cap. Anchored under `ok` in the output expression so Catalyst
-        # cannot prune it, and evaluated only for rows that have enough
-        # history to matter.
-        ok = ok & F.assert_true(
-            F.coalesce(F.col(f"{p}_n_prev"), F.lit(0))
-            <= F.lit(int(max_history_rows)),
-            f"expanding_robust_stats: an entity's prior history exceeded "
-            f"max_history_rows={int(max_history_rows)}; the per-row "
-            f"expanding percentile is O(n^2 log n) per entity — use "
-            f"bucketed_robust_stats for long histories, or raise the cap "
-            f"explicitly (max_history_rows=None disables the guard)",
-        ).isNull()
+        # cap. The guard is the FIRST conjunct: And short-circuits left
+        # to right, so guard-first means it evaluates on every row —
+        # `ok & guard` would skip it exactly on the NULL-heavy rows
+        # whose buffer it polices.
+        ok = (
+            F.assert_true(
+                F.coalesce(F.col("_rows_prev"), F.lit(0))
+                <= F.lit(int(max_history_rows)),
+                f"expanding_robust_stats: an entity's prior history "
+                f"exceeded max_history_rows={int(max_history_rows)}; the "
+                f"per-row expanding percentile is O(n^2 log n) per entity "
+                f"— use bucketed_robust_stats for long histories, or "
+                f"raise the cap explicitly (max_history_rows=None "
+                f"disables the guard)",
+            ).isNull()
+            & ok
+        )
     iqr = F.col("_q3") - F.col("_q1")
     lo = F.col("_q1") - F.lit(float(k)) * iqr
     hi = F.col("_q3") + F.lit(float(k)) * iqr
@@ -254,7 +272,7 @@ def expanding_robust_stats(
         d.withColumn(f"{p}_median_prev", F.when(ok, F.col("_med")))
         .withColumn(f"{p}_iqr_prev", F.when(ok, iqr))
         .withColumn(f"{p}_is_outlier", F.when(ok, (v < lo) | (v > hi)))
-        .drop("_epoch", "_q1", "_med", "_q3")
+        .drop("_epoch", "_q1", "_med", "_q3", "_rows_prev")
     )
 
 

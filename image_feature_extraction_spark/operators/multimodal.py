@@ -175,8 +175,21 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
             # stdlib fallback: WAV integer-PCM decodes with CPython's
             # `wave` module — the one real codec that runs ANYWHERE,
             # including this container. soundfile stays preferred when
-            # present (FLAC/OGG/float-PCM coverage).
-            return _rms_envelope(_wav_pcm_decode(payload))
+            # present (FLAC/OGG/float-PCM coverage). Non-WAV / corrupt
+            # payloads keep the module's dependency-naming contract
+            # instead of surfacing an opaque wave.Error from the
+            # executor.
+            try:
+                return _rms_envelope(_wav_pcm_decode(payload))
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                raise NotImplementedError(
+                    "real audio decode without soundfile handles WAV "
+                    "integer PCM only (stdlib `wave`); this payload did "
+                    f"not decode ({type(e).__name__}: {e}) — install "
+                    "soundfile for FLAC/OGG/float-PCM"
+                ) from e
         data, _sr = soundfile.read(io.BytesIO(payload), dtype="float64")
         if data.ndim > 1:
             data = data.mean(axis=1)  # downmix to mono

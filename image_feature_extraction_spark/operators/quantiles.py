@@ -107,12 +107,18 @@ def global_interpolated_quantiles(
     scale, the standard two-job exact-selection tradeoff.
 
     NULL values are excluded (both engines' percentile rule), and NaN
-    values are excluded too — a NaN sorts greatest and would otherwise
-    silently occupy the top ranks, so the old "filter upstream" caveat
-    is enforced here rather than documented. Probabilities outside
-    [0, 1] raise ValueError up front (a bad p would otherwise surface
-    as a KeyError from a rank no partition owns). Returns floats (None
-    when the population is empty) aligned with ``ps``.
+    values are excluded too — a DELIBERATE divergence from Spark's
+    `percentile` / DuckDB's `quantile_cont`, which sort NaN greatest so
+    it occupies the top ranks (p=1.0 over [1,2,3,NaN] returns NaN
+    there, 3.0 here). NaN is not a population value, and a NaN clip
+    bound would poison every row ``winsorize_global`` touches; callers
+    needing the engines' NaN-propagating behavior must handle NaN
+    upstream. Consequence: this function and a groupBy-`percentile`
+    plan agree only on NaN-free data (the winsorize pair is oracle-
+    checked on such data). Probabilities outside [0, 1] raise
+    ValueError up front (a bad p would otherwise surface as a KeyError
+    from a rank no partition owns). Returns floats (None when the
+    population is empty) aligned with ``ps``.
     """
     import math
 

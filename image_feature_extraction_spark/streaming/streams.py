@@ -481,21 +481,24 @@ def streaming_decayed(
         tsec = pdf[ts].astype("datetime64[us]").astype(np.int64) / 1e6
         bks = np.floor(tsec / bs)
         frames = []
+
+        def null_frame(grp):
+            # NULL features, no state contribution — shared by the
+            # NULL-ts rule and the late-bucket contract enforcement
+            return pd.DataFrame(
+                {
+                    id_col: grp[id_col].to_numpy(),
+                    key: [key_[0]] * len(grp),
+                    "decay_sum": [None] * len(grp),
+                    "decay_cnt": [None] * len(grp),
+                },
+                dtype="object",
+            )
         for _, grp in pdf.groupby(ts, sort=True, dropna=False):
             gi = grp.index
             if tnull[gi[0]]:
                 # null-ts rows: null features, no history contribution
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: grp[id_col].to_numpy(),
-                            key: [key_[0]] * len(grp),
-                            "decay_sum": [None] * len(grp),
-                            "decay_cnt": [None] * len(grp),
-                        },
-                        dtype="object",
-                    )
-                )
+                frames.append(null_frame(grp))
                 continue
             b = int(bks[gi[0]])
             if base is not None and b < base:
@@ -507,17 +510,7 @@ def streaming_decayed(
                 # — both permanently diverge from the batch operator.
                 # Late rows get NULL features and contribute nothing
                 # (same enforcement as streaming_target_encode).
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: grp[id_col].to_numpy(),
-                            key: [key_[0]] * len(grp),
-                            "decay_sum": [None] * len(grp),
-                            "decay_cnt": [None] * len(grp),
-                        },
-                        dtype="object",
-                    )
-                )
+                frames.append(null_frame(grp))
                 continue
             if base is None:
                 base = b
@@ -743,21 +736,31 @@ def streaming_target_encode(
         tsec = pdf[ts].astype("datetime64[us]").astype(np.int64) / 1e6
         bks = np.floor(tsec / bs)
         frames = []
+
+        def null_frame(grp, bucket=None):
+            # NULL features, no state contribution — shared by the
+            # NULL-ts rule (bucket unknown -> NULL) and the late-bucket
+            # enforcement (bucket kept, so violations are observable)
+            k = len(grp)
+            return pd.DataFrame(
+                {
+                    id_col: grp[id_col].to_numpy(),
+                    by: [key_[0]] * k,
+                    "te_bucket": (
+                        pd.array([None] * k, dtype="Int64")
+                        if bucket is None
+                        else np.full(k, bucket, dtype=np.int64)
+                    ),
+                    "te_n_prev": pd.array([None] * k, dtype="Int64"),
+                    "te_mean_prev": [None] * k,
+                    "te_enc": [None] * k,
+                }
+            )
+
         for _, grp in pdf.groupby(pd.Series(bks).where(~tnull), sort=True, dropna=False):
             k = len(grp)
             if tnull[grp.index[0]]:
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: grp[id_col].to_numpy(),
-                            by: [key_[0]] * k,
-                            "te_bucket": pd.array([None] * k, dtype="Int64"),
-                            "te_n_prev": pd.array([None] * k, dtype="Int64"),
-                            "te_mean_prev": [None] * k,
-                            "te_enc": [None] * k,
-                        }
-                    )
-                )
+                frames.append(null_frame(grp))
                 continue
             b = int(bks[grp.index[0]])
             if cur_bk is not None and b < cur_bk:
@@ -766,24 +769,11 @@ def streaming_target_encode(
                 # micro-batch. Silently scoring it against history that
                 # includes LATER buckets — and folding its labels into
                 # the currently-open bucket — would permanently diverge
-                # from the batch operator. Instead the late rows get
-                # NULL features (te_bucket kept, so violations are
-                # observable downstream) and contribute NOTHING to
-                # state; late data beyond the contract is a reprocess,
-                # not a state patch (streaming_zscore's rule).
-                k = len(grp)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: grp[id_col].to_numpy(),
-                            by: [key_[0]] * k,
-                            "te_bucket": np.full(k, b, dtype=np.int64),
-                            "te_n_prev": pd.array([None] * k, dtype="Int64"),
-                            "te_mean_prev": [None] * k,
-                            "te_enc": [None] * k,
-                        }
-                    )
-                )
+                # from the batch operator. Late rows get NULL features
+                # (te_bucket kept) and contribute NOTHING to state; late
+                # data beyond the contract is a reprocess, not a state
+                # patch (streaming_zscore's rule).
+                frames.append(null_frame(grp, bucket=b))
                 continue
             if cur_bk is not None and b > cur_bk:
                 n_prev += cur_n

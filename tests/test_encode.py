@@ -837,3 +837,24 @@ def test_expanding_robust_stats_history_cap_enforced(spark):
     # past the cap: raises with the pointer to the scale-safe sibling
     with pytest.raises(Exception, match="bucketed_robust_stats"):
         EN.expanding_robust_stats(df, **kw, max_history_rows=5).collect()
+
+    # the guard counts FRAME ROWS, not non-NULL values: an entity whose
+    # values are mostly NULL still fills (and re-sorts) the percentile
+    # buffer, so it must not evade the cap (review finding, round 5)
+    rows_nullheavy = [
+        (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+         float(i) if i < 3 else None)
+        for i in range(20)
+    ]
+    df_nh = spark.createDataFrame(
+        rows_nullheavy, "id long, ent long, ts timestamp, value double"
+    )
+    with pytest.raises(Exception, match="bucketed_robust_stats"):
+        EN.expanding_robust_stats(df_nh, **kw, max_history_rows=5).collect()
+    # and stays transparent for compliant NULL-heavy data
+    a = EN.expanding_robust_stats(df_nh, **kw).orderBy("id").toPandas()
+    b = (
+        EN.expanding_robust_stats(df_nh, **kw, max_history_rows=None)
+        .orderBy("id").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -19,9 +19,6 @@ counts are pinned exactly as audited (PLANS.md documents each shape).
 from __future__ import annotations
 
 import datetime as dt
-import io
-import re
-from contextlib import redirect_stdout
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,24 +31,16 @@ from image_feature_extraction_spark.operators import windows as W
 from image_feature_extraction_spark.operators.quantiles import (
     exact_quantile_values,
 )
-
-
-def _plan_of(out) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        out.explain("formatted")
-    return buf.getvalue()
+from image_feature_extraction_spark.plans.audit import plan_counts
 
 
 def _counts(out) -> tuple[int, int]:
-    plan = _plan_of(out)
-    # "(n) Window" / "(n) Exchange" — BroadcastExchange deliberately NOT
-    # counted (broadcasts are the cheap path; this pin is about shuffles
-    # and window buffer passes)
-    return (
-        len(re.findall(r"\(\d+\) Window\b", plan)),
-        len(re.findall(r"\(\d+\) Exchange\b", plan)),
-    )
+    # shared regexes with scripts/plan_audit.py (plans/audit.py) so the
+    # pins and the committed artifact can never count different operator
+    # sets. BroadcastExchange deliberately NOT counted here: broadcasts
+    # are the cheap path; this pin is about shuffles and window passes.
+    c = plan_counts(out)
+    return (c["win"], c["exch"])
 
 
 def _events(spark):

@@ -28,6 +28,9 @@ from image_feature_extraction_spark.operators import encode as EN
 from image_feature_extraction_spark.operators import labels as LB
 from image_feature_extraction_spark.operators import sequences as SQ
 from image_feature_extraction_spark.operators import windows as W
+from image_feature_extraction_spark.operators.curation import (
+    temporal_holdout as _temporal_holdout,
+)
 from image_feature_extraction_spark.operators.quantiles import (
     exact_quantile_values,
 )
@@ -158,6 +161,30 @@ CASES = {
     "exact_quantile_values": (
         lambda s: exact_quantile_values(_events(s), "value", "ent", 4),
         1, 1, "row_number + full-frame count share one operator",
+    ),
+    "asof_join_bucketed": (
+        lambda s: AS.asof_join(
+            _events(s),
+            _events(s).withColumnRenamed("value", "rv").drop("id"),
+            on="ts", by="ent", bucket_width=120.0,
+        ),
+        2, 4, "main merge window + bucket-granularity carry window; "
+              "2 row-scale exchanges + 2 bucket-aggregate partials "
+              "(PLANS.md bucketed-as-of section)",
+    ),
+    "gaussian_time_smooth": (
+        lambda s: W.gaussian_time_smooth(
+            _events(s), by="ent", ts="ts", value="value", sigma=30.0
+        ),
+        0, 3, "banded self-join + aggregation: NO window (explode + "
+              "equi-join + groupBy)",
+    ),
+    "temporal_holdout": (
+        lambda s: _temporal_holdout(
+            _events(s), by="ent", ts="ts", id_col="id"
+        ),
+        1, 1, "ROW_NUMBER + COUNT share the ordered spec "
+              "(full-partition ROWS frame trick)",
     ),
 }
 

@@ -1084,3 +1084,134 @@ def test_cents_half_up_matches_spark_decimal_cast_property(spark):
     )
     got = ST._cents_half_up(vals)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [5, 321])
+def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
+    """Randomized late-arrival fuzz for the two bucket-booking twins
+    (target encode, decayed): rows whose bucket precedes the open bucket
+    at delivery time must score NULL, and every OTHER row must match the
+    batch operator run on the punctual subset BIT-FOR-BIT — i.e. late
+    data is fully isolated from state, not merely flagged."""
+    import datetime as dt
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from image_feature_extraction_spark.operators import encode as EN
+
+    B = 3600.0
+    rng = np.random.default_rng(seed)
+    n = 240
+    T0 = dt.datetime(2024, 1, 1)
+    ents = rng.choice(["a", "b", "c"], n)
+    secs = rng.integers(0, 12 * 86400, n)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": ents,
+            "event_type": rng.choice(["click", "purchase"], n),
+            "ts": [T0 + dt.timedelta(seconds=int(s)) for s in secs],
+            "value": np.round(rng.normal(50, 20, n), 2),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf).selectExpr(
+        "event_id", "user_id", "event_type",
+        "cast(ts as timestamp_ntz) ts", "value",
+    )
+    # 3 time slices, then FORCE lateness: ~8% of slice-1/2 rows are
+    # withheld and delivered in slice 3 instead. Epoch base computed
+    # tz-naively (T0.timestamp() would depend on the host timezone).
+    e = F.col("ts").cast("timestamp").cast("double")
+    base_ep = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).total_seconds()
+    b1 = float(4 * 86400 + base_ep)
+    b2 = float(8 * 86400 + base_ep)
+    late_ids = set(int(i) for i in rng.choice(n, max(4, n // 12), replace=False))
+    is_late = F.col("event_id").isin([*late_ids])
+    slices = [
+        (e <= b1) & ~is_late,
+        (e > b1) & (e <= b2) & ~is_late,
+        (e > b2) | is_late,
+    ]
+    d = str(tmp_path / f"latefuzz{seed}")
+    for cond in slices:
+        df.where(cond).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = df.schema
+
+    def drain(stream_df, name):
+        ST.run_to_memory(stream_df, name, "update")
+        return (
+            spark.table(name).toPandas().sort_values("event_id")
+            .reset_index(drop=True).set_index("event_id")
+        )
+
+    # which withheld rows are ACTUALLY late per twin key: bucket < the
+    # max bucket their key saw in slices 1-2 that precede them... the
+    # operator's rule is simply "bucket < open bucket at delivery";
+    # compute it per key from the punctual slices' max bucket
+    ep = (pdf["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+    pdf["bk"] = np.floor(ep / B)
+    pdf["ep"] = ep
+    punctual = pdf[~pdf.event_id.isin(late_ids)]
+    early_punctual = punctual[punctual["ep"] <= b2]
+
+    for twin, batch_op, key_col, cols in (
+        (
+            lambda sdf: ST.streaming_target_encode(
+                sdf, by="event_type", ts="ts", label="value", time_bucket=B
+            ),
+            lambda bdf: EN.target_encode(
+                bdf.select("event_id", "event_type", "ts", "value"),
+                by="event_type", ts="ts", label="value", time_bucket=B,
+            ),
+            "event_type",
+            ["te_n_prev", "te_mean_prev", "te_enc"],
+        ),
+        (
+            lambda sdf: ST.streaming_decayed(
+                sdf, key="user_id", bucket_seconds=B
+            ),
+            lambda bdf: EN.decayed_features(
+                bdf.select("event_id", "user_id", "ts", "value"),
+                by="user_id", ts="ts", value="value", bucket_seconds=B,
+            ),
+            "user_id",
+            ["decay_sum", "decay_cnt"],
+        ),
+    ):
+        name = f"lf_{key_col}_{seed}"
+        sdf = ST.stream_events(spark, d, schema, max_files_per_trigger=1)
+        got = drain(twin(sdf), name)
+        assert len(got) == n  # every row flows through
+
+        # per-key open bucket after slices 1+2 (what state has seen)
+        open_bk = (
+            early_punctual.groupby(key_col)["bk"].max().to_dict()
+        )
+        late_mask = {
+            int(r.event_id): r.bk < open_bk.get(getattr(r, key_col), -np.inf)
+            for r in pdf[pdf.event_id.isin(late_ids)].itertuples()
+        }
+        truly_late = [i for i, is_l in late_mask.items() if is_l]
+        on_time = [i for i in range(n) if i not in set(truly_late)]
+        assert truly_late, "fuzz produced no late rows — fixture broken"
+
+        # 1) late rows: NULL features
+        for c in cols:
+            assert got.loc[truly_late, c].isna().all(), (c, seed)
+
+        # 2) punctual rows: EXACT match with batch over the punctual
+        # delivery order (late rows never entered state, so batch over
+        # the on-time subset is the ground truth)
+        batch_in = df.where(F.col("event_id").isin(on_time))
+        want = (
+            batch_op(batch_in).toPandas()
+            .sort_values("event_id").reset_index(drop=True)
+            .set_index("event_id")
+        )
+        g = got.loc[on_time, cols].sort_index()
+        w = want[cols].sort_index()
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)

@@ -269,6 +269,11 @@ def main() -> None:
         extras["sequences_per_sec_best"] = round(
             FLAGSHIP_DOCS / min(flag_shots), 1
         )
+    else:
+        # every shot failed: keep the suite's failure-marking convention
+        # for the headline key instead of silently dropping it (a diff
+        # keyed on the name must read "failed", not "removed")
+        timings["q_flagship_asof_features"] = -1.0
     extras["flagship_docs"] = FLAGSHIP_DOCS
     extras["flagship_shots_sec"] = [round(s, 3) for s in flag_shots]
 

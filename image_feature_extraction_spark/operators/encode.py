@@ -229,7 +229,7 @@ def expanding_robust_stats(
         # otherwise evade the guard while paying the full quadratic.
         # Same frame spec as the features -> still ONE Window operator.
         guard_cols.append(
-            F.expr(f"COUNT(1) OVER ({frame})").alias("_rows_prev")
+            F.expr(f"COUNT(1) OVER ({frame})").alias("__rb_guard_rows")
         )
     d = d.select(
         "*",
@@ -253,7 +253,7 @@ def expanding_robust_stats(
         # whose buffer it polices.
         ok = (
             F.assert_true(
-                F.coalesce(F.col("_rows_prev"), F.lit(0))
+                F.coalesce(F.col("__rb_guard_rows"), F.lit(0))
                 <= F.lit(int(max_history_rows)),
                 f"expanding_robust_stats: an entity's prior history "
                 f"exceeded max_history_rows={int(max_history_rows)}; the "
@@ -272,7 +272,9 @@ def expanding_robust_stats(
         d.withColumn(f"{p}_median_prev", F.when(ok, F.col("_med")))
         .withColumn(f"{p}_iqr_prev", F.when(ok, iqr))
         .withColumn(f"{p}_is_outlier", F.when(ok, (v < lo) | (v > hi)))
-        .drop("_epoch", "_q1", "_med", "_q3", "_rows_prev")
+        .drop("_epoch", "_q1", "_med", "_q3", *(
+            ["__rb_guard_rows"] if max_history_rows is not None else []
+        ))
     )
 
 

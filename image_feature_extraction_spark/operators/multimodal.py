@@ -180,7 +180,7 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
             # instead of surfacing an opaque wave.Error from the
             # executor.
             try:
-                return _rms_envelope(_wav_pcm_decode(payload))
+                data = _wav_pcm_decode(payload)
             except NotImplementedError:
                 raise
             except Exception as e:
@@ -190,6 +190,9 @@ def _real_decode(payload: bytes, modality: str) -> np.ndarray:
                     f"not decode ({type(e).__name__}: {e}) — install "
                     "soundfile for FLAC/OGG/float-PCM"
                 ) from e
+            # envelope OUTSIDE the try: its failures are bugs, not
+            # payload-format problems, and must not be mislabeled
+            return _rms_envelope(data)
         data, _sr = soundfile.read(io.BytesIO(payload), dtype="float64")
         if data.ndim > 1:
             data = data.mean(axis=1)  # downmix to mono

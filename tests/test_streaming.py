@@ -1086,7 +1086,9 @@ def test_cents_half_up_matches_spark_decimal_cast_property(spark):
     assert np.array_equal(got, want)
 
 
-@pytest.mark.parametrize("seed", [5, 321])
+@pytest.mark.parametrize("seed", [5, 321, 13])  # 13: exercises the
+# open-bucket collision exclusion (1 withheld row lands in an open
+# user_id bucket — the case that is legitimately unverifiable)
 def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
     """Randomized late-arrival fuzz for the two bucket-booking twins
     (target encode, decayed): rows whose bucket precedes the open bucket
@@ -1158,7 +1160,19 @@ def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
     punctual = pdf[~pdf.event_id.isin(late_ids)]
     early_punctual = punctual[punctual["ep"] <= b2]
 
-    for twin, batch_op, key_col, cols in (
+    # same_bucket_sensitive: decayed's features weight SAME-bucket
+    # earlier-ts rows (weight 1), so a withheld row landing in a key's
+    # still-OPEN bucket (bk == open_bk, accepted by the guard — the
+    # stream cannot know it is out of ts order within the bucket) is
+    # scored against cents that already folded LATER-ts same-bucket
+    # rows, and punctual same-bucket rows scored earlier never saw it:
+    # both legitimately diverge from the batch-on-subset ground truth.
+    # Those (key, open-bucket) collision rows are unverifiable here and
+    # excluded from the exact-match set (strictly-later buckets fold
+    # the same totals either way, so everything downstream still
+    # matches exactly). target_encode's features use COMPLETED buckets
+    # only — same-bucket order is irrelevant — so it gets no exclusion.
+    for twin, batch_op, key_col, cols, same_bucket_sensitive in (
         (
             lambda sdf: ST.streaming_target_encode(
                 sdf, by="event_type", ts="ts", label="value", time_bucket=B
@@ -1169,6 +1183,7 @@ def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
             ),
             "event_type",
             ["te_n_prev", "te_mean_prev", "te_enc"],
+            False,
         ),
         (
             lambda sdf: ST.streaming_decayed(
@@ -1180,6 +1195,7 @@ def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
             ),
             "user_id",
             ["decay_sum", "decay_cnt"],
+            True,
         ),
     ):
         name = f"lf_{key_col}_{seed}"
@@ -1206,12 +1222,31 @@ def test_streaming_late_bucket_fuzz_state_isolation(spark, tmp_path, seed):
         # 2) punctual rows: EXACT match with batch over the punctual
         # delivery order (late rows never entered state, so batch over
         # the on-time subset is the ground truth)
+        compare = list(on_time)
+        if same_bucket_sensitive:
+            # drop (key, open-bucket) collision rows — see the loop
+            # header comment. A withheld non-late row at exactly the
+            # open bucket contaminates only that (key, bucket) cell.
+            withheld = pdf[pdf.event_id.isin(late_ids)]
+            collide = {
+                (getattr(r, key_col), r.bk)
+                for r in withheld.itertuples()
+                if r.bk == open_bk.get(getattr(r, key_col), -np.inf)
+            }
+            if collide:
+                drop = {
+                    int(r.event_id)
+                    for r in pdf.itertuples()
+                    if (getattr(r, key_col), r.bk) in collide
+                }
+                compare = [i for i in compare if i not in drop]
         batch_in = df.where(F.col("event_id").isin(on_time))
         want = (
             batch_op(batch_in).toPandas()
             .sort_values("event_id").reset_index(drop=True)
             .set_index("event_id")
         )
-        g = got.loc[on_time, cols].sort_index()
-        w = want[cols].sort_index()
+        g = got.loc[compare, cols].sort_index()
+        w = want.loc[compare, cols].sort_index()
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        assert len(compare) > 0.8 * len(on_time)  # exclusion stays small
